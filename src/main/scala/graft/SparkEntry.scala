@@ -41,13 +41,18 @@ object SparkEntry {
     tbl(s, dir, "events")
       .withColumn("case_type", expr("right(cast(user_id as string), 2)"))
 
+  /** Transcript-scale knob per sf dir (documents/embeddings are fixed
+    * at 500 rows; transcripts scale like events). */
+  private def nConvsFor(dir: String): Int =
+    if (dir.contains("0.1")) 1000 else if (dir.contains("0.01")) 200 else 50
+
   // ---------------------------------------------------------------------
-  // Flagship: full ingest selection pipeline over the events table —
-  // projection+cast, derived case_type, conjunctive watermark predicate,
-  // broadcast semi-join against the allow-list (P2-P7 + J1 in one plan).
+  // Flagship (north star): the full transcript-extraction pipeline —
+  // deterministic transcript table → watermark + allow-list selection →
+  // salted conv_id repartition → mapPartitions HTML/PDF/plain extraction.
   // ---------------------------------------------------------------------
   def entry(spark: SparkSession): DataFrame =
-    queries("q05_allowlist_semi")(spark, "/root/testdata/sf0.001")
+    queries("q15_extract_pipeline")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P2/F2 — projection with casts (uuid::text analog)
@@ -211,6 +216,34 @@ object SparkEntry {
           col("user_id"),
           col("event_type"),
           col("event_id").cast("string").as("id"))
+    }),
+
+    // North star X1 — full extraction pipeline over the deterministic
+    // synthetic transcript table (no SQL oracle: correctness is pinned
+    // by golden-equality specs in ExtractionJobSpec/GeneratorGoldenSpec)
+    "q15_extract_pipeline" -> ((s, dir) => {
+      val cfg = graft.fixtures.TranscriptGen.GenConfig(nConvs = nConvsFor(dir))
+      val turns = graft.fixtures.TranscriptGen.dataset(s, cfg).toDF()
+      val eligible = graft.pipeline.Selection.ingest(
+        turns, graft.fixtures.TranscriptGen.WatermarkTs, s)
+      graft.pipeline.ExtractionPipeline.extract(s, eligible)
+        .toDF()
+        .select(col("conv_id"), col("turn_idx"), col("payload_kind"),
+          col("extracted_text"), col("n_spans"))
+    }),
+
+    // Extraction metrics rollup — per payload kind
+    "q16_extract_kind_stats" -> ((s, dir) => {
+      val cfg = graft.fixtures.TranscriptGen.GenConfig(nConvs = nConvsFor(dir))
+      val turns = graft.fixtures.TranscriptGen.dataset(s, cfg).toDF()
+      val eligible = graft.pipeline.Selection.ingest(
+        turns, graft.fixtures.TranscriptGen.WatermarkTs, s)
+      graft.pipeline.ExtractionPipeline.extract(s, eligible)
+        .toDF()
+        .groupBy(col("payload_kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("extracted_text"))).as("chars"),
+          sum(col("n_spans")).as("spans"))
     })
   )
 

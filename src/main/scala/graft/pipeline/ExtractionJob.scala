@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.table.{CheckpointStore, SnapshotTable}
+
+/** End-to-end checkpointed extraction job (SURVEY.md §3.1):
+  *
+  *   read watermark → ingest selection → [chunk by ts range] →
+  *   salted repartition → mapPartitions extraction →
+  *   snapshot-commit partitioned output → lineage + metrics →
+  *   advance watermark.
+  *
+  * Chunked execution reproduces the reference's per-chunk commit
+  * semantics at scale (BatchConfiguration.java:126-143 with
+  * chunk_size=2 → here a chunk is a ts-range slice of the input): a
+  * failure in chunk k leaves the watermark at the end of chunk k-1, so
+  * a restart re-reads only uncommitted data (the Scenario 3 vs 4
+  * asymmetry, IngestScenario4Test.java:107). Unlike the reference's
+  * at-least-once visible side effects, a failed chunk here exposes
+  * nothing: the snapshot pointer swap is atomic.
+  */
+object ExtractionJob {
+
+  final case class JobResult(
+      status: String, // COMPLETED | FAILED
+      rowsRead: Long,
+      rowsWritten: Long,
+      chunksCommitted: Int,
+      watermark: Timestamp,
+      snapshotIds: Seq[String],
+      durationSec: Double,
+      error: Option[String])
+
+  /** @param turns     input transcript table (conv_id, turn_idx, role,
+    *                   text, tool, ts)
+    * @param tableRoot output SnapshotTable + checkpoint root
+    * @param nChunks   ts-range commit granularity (1 = single commit)
+    * @param overrideWatermark backfill/replay hook (analog of
+    *                   METADATA_LAST_COLLECTION, application.yml:25-27)
+    */
+  def run(spark: SparkSession, turns: DataFrame, tableRoot: String,
+      system: String = "cs", mode: String = "ingest",
+      overrideWatermark: Option[String] = None,
+      nChunks: Int = 1, salt: Int = ExtractionPipeline.DefaultSalt,
+      numPartitions: Int = 0): JobResult = {
+
+    val t0 = System.nanoTime()
+    val store = new CheckpointStore(tableRoot)
+    val table = new SnapshotTable(tableRoot)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+
+    // watermark read (must exist — seed at table creation); malformed
+    // or missing file fails the job before any work, Scenario-2 style
+    val wm0 = store.read(system, mode, overrideWatermark)
+
+    // chunk boundaries: ts quantiles over the fresh slice. Deliberately
+    // computed from the raw table with ONLY the watermark predicate —
+    // a column-pruned scan of `ts` alone (no payload column is touched,
+    // no join) — so this pre-pass stays cheap at 100 TB and cannot trip
+    // over a corrupt payload. Driver receives nChunks-1 doubles.
+    val bounds: Seq[Timestamp] =
+      if (nChunks <= 1) Seq.empty
+      else {
+        val probs = (1 until nChunks).map(_.toDouble / nChunks).toArray
+        turns.filter(col("ts") > lit(wm0))
+          .select(col("ts").cast("double").as("tsd"))
+          .stat.approxQuantile("tsd", probs, 0.001)
+          .map(d => new Timestamp((d * 1000).toLong)).toSeq
+      }
+    val ranges: Seq[(Option[Timestamp], Option[Timestamp])] = {
+      val los = None +: bounds.map(Some(_))
+      val his = bounds.map(Some(_)) :+ None
+      los.zip(his)
+    }
+
+    var rowsRead = 0L
+    var rowsWritten = 0L
+    var committed = 0
+    var wm = wm0
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[String]
+    var error: Option[String] = None
+
+    ranges.zipWithIndex.takeWhile { case ((lo, hi), chunkIdx) =>
+      try {
+        // ts-range slice FIRST, selection second: the range conjuncts
+        // must evaluate before any payload-touching predicate (see
+        // Selection.basePredicate ordering note)
+        val sliceRaw = (lo, hi) match {
+          case (Some(l), Some(h)) =>
+            turns.filter(col("ts") > lit(l) && col("ts") <= lit(h))
+          case (Some(l), None) => turns.filter(col("ts") > lit(l))
+          case (None, Some(h)) => turns.filter(col("ts") <= lit(h))
+          case (None, None) => turns
+        }
+        val slice = Selection.ingest(sliceRaw, wm0, spark)
+        val obs = Observation(s"chunk-$chunkIdx")
+        val extracted = ExtractionPipeline
+          .extract(spark, slice, numPartitions, salt)
+          .observe(obs,
+            count(lit(1)).as("rows"),
+            max(col("ts")).as("max_ts"),
+            sum(length(col("extracted_text"))).as("chars_out"))
+        val snapshotId = table.commit(extracted.toDF(),
+          Seq("year", "month", "day"),
+          Map("run-id" -> runId, "chunk" -> chunkIdx.toString,
+            "mode" -> mode, "system" -> system))
+        val row = obs.get
+        val n = row("rows").asInstanceOf[Long]
+        rowsRead += n
+        rowsWritten += n
+        // lineage rows: per (day-partition) stats of what this chunk
+        // committed — column-pruned scan of the just-written snapshot
+        val lineage = spark.read.parquet(s"$tableRoot/data/$snapshotId")
+          .groupBy(col("year"), col("month"), col("day"))
+          .agg(count(lit(1)).as("rows"),
+            min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+            sum(col("n_spans")).as("n_spans"))
+          .withColumn("run_id", lit(runId))
+          .withColumn("chunk", lit(chunkIdx))
+          .withColumn("snapshot_id", lit(snapshotId))
+          .withColumn("status", lit("COMMITTED"))
+        lineage.write.mode("append").parquet(s"$tableRoot/lineage")
+        snapshots += snapshotId
+        // watermark := max ts of the committed chunk (A2 running-max,
+        // TxaKafkaItemWriter.java:52-79); empty chunk keeps prior wm
+        if (n > 0) {
+          wm = row("max_ts") match {
+            case t: Timestamp => t
+            case i: java.time.Instant => Timestamp.from(i)
+            case other => Timestamp.valueOf(other.toString)
+          }
+          store.write(system, mode, wm)
+        }
+        committed += 1
+        true
+      } catch {
+        case e: Throwable =>
+          error = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+          false
+      }
+    }.foreach(_ => ())
+
+    val durationSec = (System.nanoTime() - t0) / 1e9
+    val status = if (error.isEmpty) "COMPLETED" else "FAILED"
+    // run-level metrics row (A1/A3 analog of
+    // JobStartFinishListener.java:66-79 throughput logging)
+    writeMetrics(spark, tableRoot, runId, system, mode, status, rowsRead,
+      rowsWritten, committed, wm, durationSec)
+    JobResult(status, rowsRead, rowsWritten, committed, wm,
+      snapshots.toSeq, durationSec, error)
+  }
+
+  private def writeMetrics(spark: SparkSession, tableRoot: String,
+      runId: String, system: String, mode: String, status: String,
+      rowsRead: Long, rowsWritten: Long, chunks: Int, wm: Timestamp,
+      durationSec: Double): Unit = {
+    import spark.implicits._
+    val throughput = if (durationSec > 0) rowsWritten / durationSec else 0.0
+    Seq((runId, system, mode, status, rowsRead, rowsWritten, chunks,
+      wm, durationSec, throughput))
+      .toDF("run_id", "system", "mode", "status", "rows_read",
+        "rows_written", "chunks_committed", "watermark", "duration_sec",
+        "turns_per_sec")
+      .write.mode("append").parquet(s"$tableRoot/metrics")
+  }
+}

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.Extractor
+import graft.model.{ExtractedTurn, Turn}
+
+/** Allow-list for the (case_type, role) dispatch predicate — the
+  * engine's analog of the reference's 14-arm
+  * `(case_type = 'xx' AND type IN (...))` OR chain
+  * (PostgresItemReader.java:121-134). Data-driven so it broadcast-joins
+  * instead of compiling a giant boolean expression; unknown case types
+  * (like the reference's `a6`/`ff` rows in IngestQueryTest.java:63-81)
+  * simply never match.
+  */
+object AllowList {
+  val pairs: Seq[(String, String)] = Seq(
+    "a1" -> "user", "a1" -> "assistant", "a1" -> "tool",
+    "b5" -> "user", "b5" -> "assistant", "b5" -> "tool",
+    "c7" -> "user", "c7" -> "assistant",
+    "d8" -> "user", "d8" -> "assistant", "d8" -> "tool",
+    "e9" -> "assistant", "e9" -> "tool"
+    // a6 deliberately absent — the unknown-case-type analog
+  )
+
+  def df(spark: SparkSession): DataFrame =
+    spark.createDataFrame(pairs).toDF("case_type", "role")
+}
+
+/** The ingest/delete selection predicates (SURVEY.md §2.2, P4-P8). */
+object Selection {
+
+  /** Derived case_type = last 2 chars of conv_id (P3 analog of
+    * RIGHT(external_reference_uuid::text, 2),
+    * PostgresItemReader.java:94). */
+  def withCaseType(df: DataFrame): DataFrame =
+    df.withColumn("case_type", expr("right(conv_id, 2)"))
+
+  /** Ingest selection: base conjunctive predicate + watermark + the
+    * broadcast-semi allow-list join (P4/P6/P7 + J1). Filters push to
+    * the parquet scan; the join side is broadcast (small dim).
+    */
+  /** Base conjunctive predicate. Order matters twice over: pushed-down
+    * conjuncts evaluate left-to-right, so the cheap, selective
+    * predicates (ts watermark, role, tool) run before anything that
+    * touches the payload column — at 100 TB the `text` bytes of a
+    * filtered-out row are never even decoded, and a corrupt payload in
+    * an out-of-range row can never fail a scan.
+    */
+  private def basePredicate(watermark: Timestamp) =
+    col("ts") > lit(watermark) &&
+      col("role") =!= "system" &&
+      (col("tool").isNull || col("tool") =!= "internal") &&
+      col("text").isNotNull
+
+  def ingest(turns: DataFrame, watermark: Timestamp,
+      spark: SparkSession): DataFrame =
+    withCaseType(turns.filter(basePredicate(watermark)))
+      .join(broadcast(AllowList.df(spark)), Seq("case_type", "role"),
+        "left_semi")
+
+  /** Rows rejected by the allow-list — skip-audit (J2). */
+  def rejected(turns: DataFrame, watermark: Timestamp,
+      spark: SparkSession): DataFrame =
+    withCaseType(turns.filter(basePredicate(watermark)))
+      .join(broadcast(AllowList.df(spark)), Seq("case_type", "role"),
+        "left_anti")
+
+  /** Delete-mode selection with the reference's deliberate 1-week
+    * lookback for late/out-of-order rows (PostgresItemReader.java:140-166):
+    * re-deliver anything deleted since watermark - 7 days; the sink
+    * dedupes keyed last-write-wins.
+    */
+  def deleteLookback(turns: DataFrame, watermark: Timestamp): DataFrame =
+    withCaseType(turns)
+      .filter(col("ts") > lit(watermark) - expr("INTERVAL 7 DAYS"))
+}
+
+/** The extraction stage: salted conv_id repartition → per-partition
+  * extraction → typed output (SURVEY.md §3.1 engine equivalent).
+  */
+object ExtractionPipeline {
+
+  /** Number of salt buckets for skewed long conversations. Safe for the
+    * stateless per-turn transform (SURVEY.md §4.2). */
+  val DefaultSalt = 8
+
+  /** Run extraction over eligible turns. `numPartitions <= 0` leaves
+    * partition count to AQE/shuffle config.
+    */
+  def extract(spark: SparkSession, eligible: DataFrame,
+      numPartitions: Int = 0, salt: Int = DefaultSalt): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    // co-locate a conversation's turns modulo salt: heavy conversations
+    // (the 1% ~50x tail) split across `salt` buckets instead of one
+    // straggler task
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val repart = eligible
+      .repartition(parts, col("conv_id"), pmod(col("turn_idx"), lit(salt)))
+    val turns = repart
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .as[Turn]
+    // mapPartitions amortizes per-partition setup (parsers are
+    // stateless objects today, but the batching shape is the contract
+    // - BASELINE.json "mapPartitions-batched tokenize/classify")
+    turns.mapPartitions { it =>
+      // per-partition setup amortization: one reused Calendar per task
+      val cal = java.util.Calendar.getInstance(
+        java.util.TimeZone.getTimeZone("UTC"))
+      it.map { t =>
+        val r = Extractor.extract(t.text)
+        cal.setTimeInMillis(t.ts.getTime)
+        ExtractedTurn(
+          conv_id = t.conv_id,
+          turn_idx = t.turn_idx,
+          role = t.role,
+          tool = t.tool,
+          ts = t.ts,
+          payload_kind = r.kind,
+          extracted_text = r.text,
+          n_spans = r.nSpans,
+          source = "graft",
+          year = f"${cal.get(java.util.Calendar.YEAR)}%04d",
+          month = f"${cal.get(java.util.Calendar.MONTH) + 1}%02d",
+          day = f"${cal.get(java.util.Calendar.DAY_OF_MONTH)}%02d")
+      }
+    }
+  }
+}

@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.fixtures.TranscriptGen
+import graft.fixtures.TranscriptGen.GenConfig
+import graft.table.{CheckpointStore, SnapshotTable}
+
+/** End-to-end scenario tests — the engine translation of the
+  * reference's integration scenarios 1-4 (SURVEY.md §5.1). */
+class ExtractionJobSpec extends SparkSpec {
+
+  private val cfg = GenConfig(nConvs = 40)
+
+  private def freshTable(): (String, CheckpointStore) = {
+    val root = tmpDir("graft-table-")
+    val store = new CheckpointStore(root)
+    store.seed("cs", "ingest", TranscriptGen.WatermarkTs)
+    (root, store)
+  }
+
+  test("scenario 1: happy path — extract, golden equality, watermark = max ts") {
+    val (root, store) = freshTable()
+    val turns = TranscriptGen.dataset(spark, cfg).toDF()
+    val res = ExtractionJob.run(spark, turns, root)
+    assert(res.status == "COMPLETED")
+    assert(res.rowsWritten > 0)
+
+    val out = new SnapshotTable(root).read(spark)
+    assert(out.count() == res.rowsWritten)
+
+    // golden equality per (conv_id, turn_idx) via join (J3)
+    val golden = TranscriptGen.goldenDataset(spark, cfg).toDF()
+      .withColumnRenamed("extracted_text", "want")
+      .withColumnRenamed("payload_kind", "want_kind")
+    val joined = out.join(golden, Seq("conv_id", "turn_idx"))
+    assert(joined.count() == res.rowsWritten, "every output row has a golden")
+    val mismatches = joined
+      .filter(col("extracted_text") =!= col("want") ||
+        col("payload_kind") =!= col("want_kind"))
+    assert(mismatches.count() == 0,
+      s"golden mismatch: ${mismatches.take(2).mkString("; ")}")
+
+    // watermark advanced to exactly max(ts) of the written rows
+    // (IngestScenario1Test.java:115 analog)
+    val maxTs = out.agg(max("ts")).head().getTimestamp(0)
+    assert(store.read("cs", "ingest") == maxTs)
+
+    // only eligible rows: nothing stale, no system/internal rows
+    assert(out.filter(col("ts") <= lit(TranscriptGen.WatermarkTs)).count() == 0)
+    assert(out.filter(col("role") === "system").count() == 0)
+    assert(out.filter(col("tool") === "internal").count() == 0)
+  }
+
+  test("scenario 2: corrupt schema fails the job, watermark unchanged") {
+    val (root, store) = freshTable()
+    val before = store.read("cs", "ingest")
+    // missing `text` column — hard failure at plan time, no commit
+    val bad = TranscriptGen.dataset(spark, cfg).toDF()
+      .drop("text").withColumnRenamed("role", "rle")
+    val res = ExtractionJob.run(spark, bad, root)
+    assert(res.status == "FAILED")
+    assert(res.chunksCommitted == 0)
+    assert(store.read("cs", "ingest") == before)
+    assert(new SnapshotTable(root).currentSnapshotId.isEmpty)
+  }
+
+  test("scenario 3: poison payload in single chunk — FAILED, watermark unchanged, no output visible") {
+    val (root, store) = freshTable()
+    val before = store.read("cs", "ingest")
+    val poison = udf((t: String, idx: Int) =>
+      if (idx == 5) sys.error("poison payload") else t)
+    val turns = TranscriptGen.dataset(spark, cfg).toDF()
+      .withColumn("text", poison(col("text"), col("turn_idx")))
+    val res = ExtractionJob.run(spark, turns, root, nChunks = 1)
+    assert(res.status == "FAILED")
+    assert(res.chunksCommitted == 0)
+    assert(store.read("cs", "ingest") == before)
+    // atomic pointer swap — no snapshot became visible
+    assert(new SnapshotTable(root).currentSnapshotId.isEmpty)
+  }
+
+  test("scenario 4: failure in a later chunk — watermark = last committed chunk; resume completes") {
+    val (root, store) = freshTable()
+    val before = store.read("cs", "ingest")
+    // poison only rows in the last ~quarter of the ts range
+    val all = TranscriptGen.dataset(spark, cfg).toDF()
+    val cut = all.filter(col("ts") > lit(TranscriptGen.WatermarkTs))
+      .selectExpr("cast(ts as double) d").stat.approxQuantile("d", Array(0.9), 0.001)(0)
+    val cutTs = new Timestamp((cut * 1000).toLong)
+    val poison = udf((t: String, tsMs: Long) =>
+      if (tsMs > cutTs.getTime) sys.error("poison late row") else t)
+    val turns = all.withColumn("text",
+      poison(col("text"), col("ts").cast("long") * 1000))
+    val res = ExtractionJob.run(spark, turns, root, nChunks = 4)
+    assert(res.status == "FAILED")
+    assert(res.chunksCommitted > 0 && res.chunksCommitted < 4)
+    val wmAfterFail = store.read("cs", "ingest")
+    assert(wmAfterFail.after(before), "watermark advanced to last good chunk")
+    assert(wmAfterFail.getTime <= cutTs.getTime + 1000)
+
+    // resume with clean data: only uncommitted rows get processed
+    val res2 = ExtractionJob.run(spark, all, root, nChunks = 4)
+    assert(res2.status == "COMPLETED")
+    val eligibleTotal = Selection.ingest(all, before, spark).count()
+    assert(res.rowsWritten + res2.rowsWritten == eligibleTotal,
+      "resume processes exactly the uncommitted remainder")
+  }
+
+  test("delete-mode lookback re-delivers the late window") {
+    val wm = new Timestamp(TranscriptGen.BaseEpochMs + 10 * 86400000L)
+    val turns = TranscriptGen.dataset(spark, cfg).toDF()
+    val redelivered = Selection.deleteLookback(turns, wm)
+    assert(redelivered.count() > 0, "lookback window is non-empty")
+    val minTs = redelivered.agg(min("ts")).head().getTimestamp(0)
+    // nothing older than wm - 7 days is re-delivered
+    assert(minTs.getTime > wm.getTime - 7L * 86400000L)
+    // and something strictly before wm IS re-delivered (the late window)
+    assert(redelivered.filter(col("ts") <= lit(wm)).count() > 0)
+  }
+
+  test("rejected-rows audit is the exact complement of the allow-list") {
+    val turns = TranscriptGen.dataset(spark, cfg).toDF()
+    val wm = TranscriptGen.WatermarkTs
+    val inSel = Selection.ingest(turns, wm, spark).count()
+    val outSel = Selection.rejected(turns, wm, spark).count()
+    val base = Selection.withCaseType(turns)
+      .filter(col("text").isNotNull && col("role") =!= "system" &&
+        (col("tool").isNull || col("tool") =!= "internal") &&
+        col("ts") > lit(wm)).count()
+    assert(inSel + outSel == base)
+    assert(inSel > 0 && outSel > 0)
+  }
+}
