@@ -54,7 +54,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q15_extract_pipeline")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relationalQueries ++ TrainingQueries.queries
+
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P2/F2 — projection with casts (uuid::text analog)
     "q01_projection_cast" -> ((s, dir) =>
       tbl(s, dir, "events").select(
@@ -247,7 +250,10 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    relationalOracles ++ TrainingQueries.oracleSql
+
+  private def relationalOracles: Map[String, String] = Map(
     "q01_projection_cast" ->
       """SELECT CAST(event_id AS VARCHAR) AS id,
         |       CAST(user_id AS VARCHAR) AS uid, event_type

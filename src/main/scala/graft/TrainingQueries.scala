@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Ann, Dedup, Expressions, TextFunctions}
+
+/** Training-data pipeline operators as driver-checkable queries:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute force + sign-LSH), and text
+  * analysis (lang-id, quality, token stats, fingerprints) — each over
+  * the documents/embeddings test tables with a DuckDB oracle wherever
+  * the semantics are SQL-expressible.
+  */
+object TrainingQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val K = 16 // minhash signature size
+  private val R = 4  // rows per LSH band
+
+  /** Query vector = embedding of vec_id 0 (driver point lookup, like
+    * the reference's watermark read). */
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    embs(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))),
+
+    "q21_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    "q22_quality_score" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))),
+
+    "q23_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.docFingerprint(col("text")).as("fp"))),
+
+    "q24_rolling_hash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenRollingHash(col("text")).as("rh"))),
+
+    "q25_exact_dedup" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "text", "doc_id")),
+
+    "q26_minhash_sig" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        array_join(TextFunctions.minhashSignature(col("text"), K), "|")
+          .as("sig"))),
+
+    "q27_lsh_buckets" -> ((s, dir) =>
+      Dedup.minhashLshBuckets(docs(s, dir), "text", "doc_id", K, R)
+        .select(col("band"), col("band_key"),
+          concat_ws(",", transform(col("ids"), _.cast("string"))).as("ids"),
+          col("n"))),
+
+    "q28_cosine_topk" -> ((s, dir) =>
+      Ann.cosineTopK(embs(s, dir), "embedding", "vec_id",
+        queryVec(s, dir), 10)),
+
+    // native Catalyst expressions (fnv1a64 / simhash64): no SQL oracle,
+    // pinned by ExpressionsSpec unit tests instead
+    "q29_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Expressions.simhash64(TextFunctions.normText(col("text"))).as("sh"),
+        Expressions.fnv1a64(TextFunctions.normText(col("text"))).as("fnv"))),
+
+    "q30_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 16)),
+
+    "q31_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
+        n = 3, threshold = 0.2, K, R)),
+
+    "q32_embedding_neardups" -> ((s, dir) =>
+      Dedup.embeddingNearDups(embs(s, dir), "embedding", "vec_id",
+        "label", threshold = 0.2)),
+
+    "q33_lsh_ann" -> ((s, dir) =>
+      Ann.lshTopK(embs(s, dir), "embedding", "vec_id",
+        queryVec(s, dir), 10))
+  )
+
+  // --- oracle SQL ------------------------------------------------------
+
+  private val TOK = """string_split_regex(trim(text), '\s+')"""
+  private val TOKL = """string_split_regex(lower(trim(text)), '\s+')"""
+  private val NORM = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+
+  private def langCount(markers: Seq[String]): String =
+    s"len(list_filter($TOKL, t -> t IN (${markers.map("'" + _ + "'").mkString(",")})))"
+
+  /** 16 minhash component expressions over distinct tokens. */
+  private def sigExprs: Seq[String] =
+    (0 until K).map(i =>
+      s"list_min(list_transform(list_distinct($TOK), x -> md5('$i:' || x)))")
+
+  private def bandKeyExpr(b: Int): String =
+    "md5(" + (0 until R).map(r => s"s[${b * R + r + 1}]")
+      .mkString(" || '|' || ") + ")"
+
+  def oracleSql: Map[String, String] = Map(
+    "q20_token_count" ->
+      s"""SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
+         |  ELSE len($TOK) END AS n_tok FROM documents""".stripMargin,
+
+    "q21_lang_id" -> {
+      val scores = TextFunctions.LangMarkers
+        .map { case (code, m) => code -> langCount(m) }
+      val best = "greatest(" + scores.map(_._2).mkString(", ") + ")"
+      val caseChain = scores.map { case (code, e) =>
+        s"WHEN $best > 0 AND $e = $best THEN '$code'"
+      }.mkString(" ")
+      s"SELECT doc_id, CASE $caseChain ELSE 'und' END AS lang_pred FROM documents"
+    },
+
+    "q22_quality_score" -> {
+      val nTok = s"(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($TOK) END)::DOUBLE"
+      val nPunct = """len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE"""
+      val stopList = Seq("the", "a", "of", "and", "is", "to", "in")
+        .map("'" + _ + "'").mkString(",")
+      val nStop = s"len(list_filter($TOKL, t -> t IN ($stopList)))::DOUBLE"
+      s"""SELECT doc_id, floor((
+         |  (CASE WHEN $nTok >= 10 AND $nTok <= 1000 THEN 1.0
+         |        WHEN $nTok > 0 THEN 0.5 ELSE 0.0 END) * 0.4 +
+         |  (1.0 - (CASE WHEN $nTok > 0 THEN least($nPunct / $nTok, 1.0) ELSE 0.0 END)) * 0.3 +
+         |  least((CASE WHEN $nTok > 0 THEN $nStop / $nTok ELSE 0.0 END) * 5, 1.0) * 0.3
+         |  ) * 10000 + 0.5) / 10000 AS q FROM documents""".stripMargin
+    },
+
+    "q23_fingerprint" ->
+      s"SELECT doc_id, substr(md5($NORM), 1, 16) AS fp FROM documents",
+
+    "q24_rolling_hash" ->
+      s"""SELECT doc_id, list_reduce(
+         |  list_prepend(0::BIGINT, list_transform($TOK,
+         |    t -> (len(t) + ascii(t))::BIGINT)),
+         |  (h, t) -> (h * 31 + t) % 1000000007) AS rh
+         |FROM documents""".stripMargin,
+
+    "q25_exact_dedup" ->
+      s"""SELECT $NORM AS norm_key, min(doc_id) AS keep_id,
+         |  count(*) AS group_size FROM documents GROUP BY 1""".stripMargin,
+
+    "q26_minhash_sig" ->
+      s"SELECT doc_id, ${sigExprs.mkString(" || '|' || ")} AS sig FROM documents",
+
+    "q27_lsh_buckets" -> {
+      val bands = (0 until K / R).map(b =>
+        s"SELECT doc_id, $b AS band, ${bandKeyExpr(b)} AS band_key FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS s FROM documents),
+         |bk AS ($bands)
+         |SELECT band, band_key,
+         |  string_agg(doc_id, ',' ORDER BY doc_id) AS ids, count(*) AS n
+         |FROM bk GROUP BY band, band_key HAVING count(*) > 1""".stripMargin
+    },
+
+    "q28_cosine_topk" ->
+      """WITH q0 AS (
+        |  SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+        |qn AS (SELECT CASE WHEN sqrt(list_dot_product(e, e)) > 0
+        |  THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+        |  ELSE e END AS q FROM q0),
+        |n AS (SELECT vec_id,
+        |  CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+        |    THEN list_transform(embedding::DOUBLE[],
+        |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+        |    ELSE embedding::DOUBLE[] END AS v FROM embeddings)
+        |SELECT vec_id, floor(list_dot_product(v, q) * 10000 + 0.5) / 10000 AS cos
+        |FROM n, qn ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q31_jaccard_pairs" -> {
+      val bands = (0 until K / R).map(b =>
+        s"SELECT doc_id, $b AS band, ${bandKeyExpr(b)} AS band_key FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS s FROM documents),
+         |bk AS ($bands),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bk l JOIN bk r ON l.band = r.band AND l.band_key = r.band_key
+         |  WHERE l.doc_id < r.doc_id),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |    list_zip(t[1:-3], t[2:-2], t[3:-1]),
+         |    x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS g
+         |  FROM (SELECT doc_id, $TOK AS t FROM documents) tt),
+         |j AS (SELECT a, b,
+         |    len(list_intersect(sa.g, sb.g))::DOUBLE AS inter,
+         |    (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g)))::DOUBLE AS uni
+         |  FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+         |SELECT a, b, floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM j WHERE floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin
+    },
+
+    "q32_embedding_neardups" ->
+      """WITH n AS (SELECT vec_id, label,
+        |  CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+        |    THEN list_transform(embedding::DOUBLE[],
+        |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+        |    ELSE embedding::DOUBLE[] END AS v FROM embeddings)
+        |SELECT l.vec_id AS a, r.vec_id AS b,
+        |  floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 AS cos
+        |FROM n l JOIN n r ON l.label = r.label AND l.vec_id < r.vec_id
+        |WHERE floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin
+  )
+}

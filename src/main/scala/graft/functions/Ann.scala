@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  * Brute-force cosine top-k is the exact baseline; the scale path is
+  * random-hyperplane LSH bucketing, which turns the scan into a
+  * bucket-pruned scan (and at cluster scale, a partition-pruned one if
+  * the table is written bucketed by `lsh_bucket`).
+  */
+object Ann {
+
+  /** Dot product of two double arrays — built-in zip_with/aggregate,
+    * stays inside whole-stage codegen. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** 4-decimal rounding via pure double arithmetic — unlike round(),
+    * bit-identical across engines at exact half-boundaries (the same
+    * IEEE ops run on both sides). */
+  def round4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** L2-normalized copy (zero vector stays zero). */
+  def normalized(vecCol: Column): Column = {
+    val v = asDouble(vecCol)
+    val n = norm(v)
+    when(n > 0, transform(v, x => x / n)).otherwise(v)
+  }
+
+  /** Exact brute-force cosine top-k against a literal query vector.
+    * One narrow scan + TakeOrderedAndProject — no shuffle of the data,
+    * only of k rows per partition.
+    */
+  def cosineTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val qn = {
+      val m = math.sqrt(query.map(x => x * x).sum)
+      if (m > 0) query.map(_ / m) else query
+    }
+    val qLit = array(qn.map(lit): _*)
+    df.select(col(idCol),
+        round4(dot(normalized(col(vecCol)), qLit)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (SplitMix64 driven —
+    * fixed seed, engine-independent). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      // uniform in [-1, 1) is fine for sign-LSH
+      (mix(seed + p * 1000003L + d).toDouble / Long.MaxValue.toDouble)
+    }
+  }
+
+  /** Sign-LSH bucket id (0 .. 2^nPlanes-1) of a vector column. */
+  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    val v = asDouble(vecCol)
+    planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit): _*)
+      when(dot(v, pl) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: restrict the exact scan to the query's LSH
+    * bucket (plus optional Hamming-1 neighbor buckets for recall).
+    */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, nPlanes: Int = 8,
+      probeNeighbors: Boolean = true): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(nPlanes, dim)
+    val qBucket = {
+      var b = 0L
+      planes.zipWithIndex.foreach { case (p, i) =>
+        if (p.zip(query).map { case (x, y) => x * y }.sum >= 0) b |= (1L << i)
+      }
+      b
+    }
+    val probes: Seq[Long] =
+      if (!probeNeighbors) Seq(qBucket)
+      else qBucket +: (0 until nPlanes).map(i => qBucket ^ (1L << i))
+    val bucketed = df.withColumn("lsh_bucket", lshBucket(col(vecCol), planes))
+    cosineTopK(
+      bucketed.filter(col("lsh_bucket").isin(probes: _*)),
+      vecCol, idCol, query, k)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by interpreted eval and generated code. */
+object HashKernels {
+
+  /** FNV-1a 64-bit rolling hash over UTF-8 bytes — the document
+    * fingerprint primitive (public-domain constants). */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-token FNV-1a hash,
+    * per-bit majority vote. Near-duplicate docs differ in few bits. */
+  def simhash64(s: UTF8String): Long = {
+    val str = s.toString
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      val w0 = i
+      while (i < n && !Character.isWhitespace(str.charAt(i))) i += 1
+      if (i > w0) {
+        val h = fnv1a64(UTF8String.fromString(str.substring(w0, i)))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** Native Catalyst expression: FNV-1a 64-bit of a string column.
+  * Participates in whole-stage codegen via a static call — no UDF
+  * serialization, no boxing beyond the Long result.
+  */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.fnv1a64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.fnv1a64($c)")
+  override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
+}
+
+/** Native Catalyst expression: 64-bit SimHash of a string column. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+object Expressions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def fnv1a64(c: Column): Column = column(Fnv1a64(expression(c)))
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+
+  /** SQL registration so the expressions are usable from spark.sql. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("fnv1a64",
+      exprs => Fnv1a64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline, all built
+  * from codegen'd `org.apache.spark.sql.functions` (no UDFs in the hot
+  * path — SURVEY.md §4 "Functions, not UDFs"). Each has an exact DuckDB
+  * oracle in SparkEntry.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array())
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Canonical form for exact dedup: lowercase, trimmed, whitespace
+    * collapsed. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Distinct word n-gram shingles (the unit for Jaccard / MinHash). */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    val count = size(t) - (n - 1)
+    val grams = transform(
+      sequence(lit(0), greatest(count - 1, lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
+    array_distinct(
+      when(count <= 0, array().cast("array<string>")).otherwise(grams))
+  }
+
+  /** Stopword-marker language scores; deterministic argmax with fixed
+    * tie-break order (alphabetical by language code). N-gram-style
+    * heuristic language ID over marker lexicons. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "es", "que", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "que", "un"))
+
+  private def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(c)), t => t.isin(markers.map(lit): _*)))
+
+  /** Predicted language code, or 'und' when no marker hits. */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (code, m) => code -> langScore(c, m) }
+    val best = greatest(scores.map(_._2): _*)
+    // first language (alphabetical) achieving the max
+    scores.foldRight(lit("und"): Column) { case ((code, s), acc) =>
+      when(best > 0 && s === best, lit(code)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: length band + punctuation ratio
+    * + stopword presence. Frozen formula, exact-rational arithmetic
+    * rounded once at the end (cross-engine stable). */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val nPunct = regexp_count(c, lit("[.,;:!?]")).cast("double")
+    val nStop = size(filter(tokens(lower(c)),
+      t => t.isin(Seq("the", "a", "of", "and", "is", "to", "in").map(lit): _*)))
+      .cast("double")
+    val lenScore = when(nTok >= 10 && nTok <= 1000, 1.0)
+      .when(nTok > 0, 0.5).otherwise(0.0)
+    val punctRatio = when(nTok > 0, least(nPunct / nTok, lit(1.0))).otherwise(0.0)
+    val stopRatio = when(nTok > 0, nStop / nTok).otherwise(0.0)
+    // floor-based round4: identical IEEE ops in any engine (round()
+    // half-boundary behavior is engine-specific)
+    floor((lenScore * 0.4 + (lit(1.0) - punctRatio) * 0.3 +
+      least(stopRatio * 5, lit(1.0)) * 0.3) * 10000 + 0.5) / 10000
+  }
+
+  /** Content-defined document fingerprint: md5 of the canonical text,
+    * truncated to 64 bits of hex. */
+  def docFingerprint(c: Column): Column =
+    substring(md5(normText(c)), 1, 16)
+
+  /** Polynomial rolling fingerprint over token lengths+first letters —
+    * cheap order-sensitive hash with an exact SQL oracle (the
+    * char-level FNV variant lives in Expressions.RollingHash). */
+  def tokenRollingHash(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (h, t) => (h * 31 + length(t) + ascii(t)) % 1000000007L)
+
+  /** MinHash signature: k minima of md5(seed:token) over the token set.
+    * String-min of fixed-width hex == numeric min of the 128-bit hash,
+    * so signatures are engine-portable. */
+  def minhashSignature(c: Column, k: Int): Column = {
+    val t = array_distinct(tokens(c))
+    val sig = (0 until k).map { i =>
+      array_min(transform(t, tok => md5(concat(lit(s"$i:"), tok))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH band keys: md5 over `rows`-wide signature slices.
+    * bands = k / rows. */
+  def lshBandKeys(c: Column, k: Int, rows: Int): Column = {
+    val sig = minhashSignature(c, k)
+    val bands = k / rows
+    array((0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*))
+    }: _*)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.SparkSpec
+
+class ExpressionsSpec extends SparkSpec {
+
+  test("fnv1a64 matches the published FNV-1a test vectors") {
+    // public-domain reference values (isthe.com/chongo/tech/comp/fnv)
+    assert(HashKernels.fnv1a64(UTF8String.fromString("")) == 0xcbf29ce484222325L)
+    assert(HashKernels.fnv1a64(UTF8String.fromString("a")) == 0xaf63dc4c8601ec8cL)
+    assert(HashKernels.fnv1a64(UTF8String.fromString("foobar")) == 0x85944171f73967e8L)
+  }
+
+  test("simhash64: identical docs collide, near docs are close, far docs far") {
+    val a = UTF8String.fromString("the quick brown fox jumps over the lazy dog today")
+    val a2 = UTF8String.fromString("the quick brown fox jumps over the lazy dog tonight")
+    val b = UTF8String.fromString("completely different words appear within this unrelated sentence entirely")
+    val (ha, ha2, hb) = (HashKernels.simhash64(a), HashKernels.simhash64(a2),
+      HashKernels.simhash64(b))
+    assert(ha == HashKernels.simhash64(a))
+    assert(HashKernels.hamming64(ha, ha2) < HashKernels.hamming64(ha, hb))
+  }
+
+  test("native expressions run inside a DataFrame plan with codegen") {
+    // spark.range defeats constant folding — doGenCode path executes
+    val df = spark.range(3)
+      .select(when(col("id") === 0, lit("foobar"))
+        .otherwise(concat(lit("w"), col("id"))).as("t"))
+      .select(Expressions.fnv1a64(col("t")).as("h"),
+        Expressions.simhash64(col("t")).as("s"))
+    val rows = df.orderBy(col("h")).collect()
+    assert(rows.map(_.getLong(0)).contains(0x85944171f73967e8L))
+    // "*(n)" marks a WholeStageCodegen span in the simple plan string —
+    // the custom expressions must sit INSIDE one, not break it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("), plan)
+  }
+
+  test("sql registration exposes fnv1a64/simhash64") {
+    Expressions.register(spark)
+    val r = spark.sql("SELECT fnv1a64('foobar') AS h, simhash64('x y') AS s").head()
+    assert(r.getLong(0) == 0x85944171f73967e8L)
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private lazy val embs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force topk is self-consistent: query finds itself first") {
+    val q = embs.filter(col("vec_id") === 7)
+      .head().getSeq[Float](embs.columns.indexOf("embedding")).map(_.toDouble)
+    val top = Ann.cosineTopK(embs, "embedding", "vec_id", q, 5).collect()
+    assert(top.head.getLong(0) == 7L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-3)
+  }
+
+  test("lsh topk returns a subset of brute-force ranking with decent recall") {
+    val q = embs.filter(col("vec_id") === 0)
+      .head().getSeq[Float](embs.columns.indexOf("embedding")).map(_.toDouble)
+    val exact = Ann.cosineTopK(embs, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ann.lshTopK(embs, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.contains(0L), "query vector found in its own bucket")
+    assert((exact intersect approx).nonEmpty)
+  }
+
+  test("lsh bucket assignment is deterministic") {
+    val planes = Ann.hyperplanes(8, 64)
+    val b1 = embs.withColumn("b", Ann.lshBucket(col("embedding"), planes))
+      .agg(sum("b")).head().getLong(0)
+    val b2 = embs.withColumn("b", Ann.lshBucket(col("embedding"), planes))
+      .agg(sum("b")).head().getLong(0)
+    assert(b1 == b2)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps min id per normalized text") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other text"),
+      (4L, "HELLO WORLD  ")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "text", "doc_id").collect()
+    val hw = groups.find(_.getString(0) == "hello world").get
+    assert(hw.getLong(1) == 1L && hw.getLong(2) == 3L)
+    val drops = Dedup.exactDropIds(df, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(drops == Set(2L, 4L))
+  }
+
+  test("minhash lsh buckets group near-identical docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq(
+      (1L, base), (2L, base + " phi"), (3L, "totally unrelated content here"))
+      .toDF("doc_id", "text")
+    val buckets = Dedup.minhashLshBuckets(df, "text", "doc_id").collect()
+    assert(buckets.nonEmpty)
+    assert(buckets.forall { r =>
+      val ids = r.getSeq[Long](2); ids.contains(1L) && ids.contains(2L) && !ids.contains(3L)
+    })
+  }
+
+  test("simhash pairs find near-duplicates, not unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq(
+      (1L, base), (2L, base + " phi"),
+      (3L, "completely different unrelated words describing another topic wholly"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("jaccard pairs verify candidates exactly") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, base), (2L, base), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+      n = 3, threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+}
