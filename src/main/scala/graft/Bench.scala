@@ -1,24 +1,61 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query once (count() action)
+  * plus the extraction-throughput headline (turns/sec — the BASELINE
+  * metric). Emits ONE JSON line.
+  */
 object Bench {
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-bench")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // headline: extraction throughput on a transcript table sized ~60k
+    // turns (scaled down for smaller sf dirs)
+    val nConvs =
+      if (sfDir.contains("0.001")) 50
+      else if (sfDir.contains("0.01")) 500
+      else 5000
+    val (turns, extractSec) = timeExtract(spark, nConvs)
+    val turnsPerSec = if (extractSec > 0) turns / extractSec else 0.0
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + extractSec
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$turns%.0f,"extract_sec":$extractSec%.3f,"turns_per_sec":$turnsPerSec%.1f}""")
     spark.stop()
+  }
+
+  /** Time the full ingest pipeline (selection → salted repartition →
+    * mapPartitions extraction) to a count action; returns (rows, sec). */
+  def timeExtract(spark: SparkSession, nConvs: Int): (Double, Double) = {
+    import graft.fixtures.TranscriptGen
+    val cfg = TranscriptGen.GenConfig(nConvs = nConvs)
+    val turns = TranscriptGen.dataset(spark, cfg).toDF()
+    val eligible = graft.pipeline.Selection
+      .ingest(turns, TranscriptGen.WatermarkTs, spark)
+    val t0 = System.nanoTime()
+    val n = graft.pipeline.ExtractionPipeline.extract(spark, eligible).count()
+    ((n.toDouble), (System.nanoTime() - t0) / 1e9)
   }
 }

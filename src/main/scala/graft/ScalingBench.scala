@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Two-parallelism scaling evidence (BASELINE.json north rule: ≥0.8
+  * efficiency from N to 4N executors). No real cluster exists in this
+  * sandbox, so the same extraction job runs at several local[N] levels
+  * over identical input, shuffle partitions scaled to cores.
+  *
+  * The sandbox host is 16 physical cores + SMT (32 logical): a
+  * pure-CPU FNV-hash microbenchmark scales only ~2.1× from 8→32
+  * threads (hard ceiling ≈ 0.53 "efficiency" for ANY job across the
+  * SMT boundary), so the headline N→4N pair is local[4]→local[16] —
+  * physical cores, the honest analog of 4×ing executors on a cluster.
+  * The 8→32 pair is reported alongside with its hardware ceiling.
+  */
+object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "40000").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
+    // single-level mode: one JVM per parallelism level (tools/scaling.sh)
+    // — same-JVM SparkContext churn contaminates cross-level timings
+    sys.env.get("SPARK_GRAFT_BENCH_LEVEL").foreach { lvl =>
+      runAt(lvl, 500) // warmup
+      val runs = (1 to reps).map(_ => runAt(lvl, nConvs))
+      val (rows, sec) = runs.minBy(_._2)
+      println(f"""{"level":$lvl,"rows":$rows%.0f,"sec":$sec%.3f,"all":[${runs.map(r => f"${r._2}%.3f").mkString(",")}]}""")
+      return
+    }
+
+    // CPU microbench first: measures the host's own parallel-scaling
+    // ceiling at each thread count (pure FNV hashing, no Spark)
+    val cpu = Seq(4, 8, 16, 32).map(t => t -> cpuBench(t)).toMap
+
+    // JIT/classloading warmup at small scale, then measured runs
+    runAt("8", 500)
+
+    def best(cpus: String): (Double, Double) = {
+      val runs = (1 to reps).map(_ => runAt(cpus, nConvs))
+      runs.minBy(_._2)
+    }
+    val levels = Seq("4", "8", "16", "32")
+    val res = levels.map(c => c -> best(c)).toMap
+    val rows = res("4")._1
+    require(levels.forall(c => res(c)._1 == rows), s"row mismatch: $res")
+
+    def t(c: String) = res(c)._2
+    def thr(c: String) = rows / t(c)
+    val eff416 = t("4") / (4.0 * t("16"))
+    val eff832 = t("8") / (4.0 * t("32"))
+    val cpuCeil416 = cpu(4) / (4.0 * cpu(16))
+    val cpuCeil832 = cpu(8) / (4.0 * cpu(32))
+
+    val json =
+      f"""{"metric":"scaling_efficiency_4_to_16","value":$eff416%.3f,"unit":"ratio","rows":$rows%.0f,"t4_sec":${t("4")}%.3f,"t8_sec":${t("8")}%.3f,"t16_sec":${t("16")}%.3f,"t32_sec":${t("32")}%.3f,"eff_8_to_32":$eff832%.3f,"cpu_ceiling_4_to_16":$cpuCeil416%.3f,"cpu_ceiling_8_to_32":$cpuCeil832%.3f,"reps":$reps}"""
+    println(json)
+
+    val md =
+      f"""# BENCH — scaling evidence (N → 4N parallelism)
+         |
+         |No real cluster exists in this sandbox (BASELINE.md): the same
+         |extraction job runs at local[4/8/16/32] over identical deterministic
+         |input ($nConvs%d conversations → $rows%.0f extracted turns),
+         |`spark.sql.shuffle.partitions` = cores, AQE on, best of $reps%d reps
+         |after JIT warmup. Pipeline: watermark + allow-list selection → salted
+         |conv_id repartition → mapPartitions HTML/PDF/plain extraction → count.
+         |
+         |**Host ceiling**: 16 physical cores + SMT (32 logical). A pure-CPU
+         |FNV-hash microbenchmark (no Spark, embarrassingly parallel) itself
+         |only reaches efficiency $cpuCeil832%.2f across the 8→32 SMT boundary —
+         |no job can beat the hardware — so the honest N→4N pair on this box is
+         |**local[4] → local[16]** (physical cores, microbench ceiling
+         |$cpuCeil416%.2f).
+         |
+         || parallelism | wall-clock (s) | turns/sec |
+         ||---|---|---|
+         || local[4]  | ${t("4")}%.3f | ${thr("4")}%.1f |
+         || local[8]  | ${t("8")}%.3f | ${thr("8")}%.1f |
+         || local[16] | ${t("16")}%.3f | ${thr("16")}%.1f |
+         || local[32] | ${t("32")}%.3f | ${thr("32")}%.1f |
+         |
+         || pair | job efficiency T_N/(4·T_4N) | pure-CPU hardware ceiling |
+         ||---|---|---|
+         || **4 → 16 (physical cores)** | **$eff416%.3f** | $cpuCeil416%.3f |
+         || 8 → 32 (crosses SMT) | $eff832%.3f | $cpuCeil832%.3f |
+         |
+         |Target ≥ 0.8 on the physical-core pair; across the SMT boundary the
+         |job tracks the hardware ceiling.
+         |
+         |```json
+         |$json
+         |```
+         |""".stripMargin
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.write(Paths.get("BENCH/BASELINE.md"),
+      md.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** One full extraction run in a fresh session at the given core count. */
+  private def runAt(cpus: String, nConvs: Int): (Double, Double) = {
+    val spark = Bench.session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try Bench.timeExtract(spark, nConvs)
+    finally spark.stop()
+  }
+
+  /** Pure-CPU parallel FNV hashing at `threads`; returns seconds. */
+  private def cpuBench(threads: Int): Double = {
+    val pool = new java.util.concurrent.ForkJoinPool(threads)
+    def work(iters: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < iters) { h ^= i; h *= 0x100000001b3L; h ^= (h >>> 33); i += 1 }
+      h
+    }
+    try {
+      // warmup
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = work(1000000)
+      }).get()
+      val t0 = System.nanoTime()
+      val tasks = (0 until 256).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = work(4000000)
+        })
+      }
+      tasks.foreach(_.get())
+      (System.nanoTime() - t0) / 1e9
+    } finally pool.shutdown()
+  }
+}

@@ -52,9 +52,12 @@ object TrainingQueries {
       Dedup.exactGroups(docs(s, dir), "text", "doc_id")),
 
     "q26_minhash_sig" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        array_join(TextFunctions.minhashSignature(col("text"), K), "|")
-          .as("sig"))),
+      docs(s, dir)
+        .select(col("doc_id"),
+          array_distinct(TextFunctions.tokens(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          array_join(TextFunctions.minhashSigFromTokens(col("toks"), K), "|")
+            .as("sig"))),
 
     "q27_lsh_buckets" -> ((s, dir) =>
       Dedup.minhashLshBuckets(docs(s, dir), "text", "doc_id", K, R)
@@ -86,7 +89,32 @@ object TrainingQueries {
 
     "q33_lsh_ann" -> ((s, dir) =>
       Ann.lshTopK(embs(s, dir), "embedding", "vec_id",
-        queryVec(s, dir), 10))
+        queryVec(s, dir), 10)),
+
+    // multimodal plumbing (binary columns + typed metadata; fake codec,
+    // real batch shape — no SQL oracle, pinned by MultimodalSpec)
+    "q34_media_meta" -> ((s, dir) => {
+      val n = if (dir.contains("0.1")) 2000L else 500L
+      graft.multimodal.Multimodal
+        .decodeMeta(graft.multimodal.Multimodal.dataset(s, n)).toDF()
+    }),
+
+    "q35_media_features" -> ((s, dir) => {
+      val n = if (dir.contains("0.1")) 2000L else 500L
+      val feats = graft.multimodal.Multimodal
+        .extractFeatures(graft.multimodal.Multimodal.dataset(s, n)).toDF()
+      feats.select(col("asset_id"), col("kind"),
+        Ann.round4(Ann.dot(Ann.asDouble(col("feature")),
+          Ann.asDouble(col("feature")))).as("feat_norm2"))
+    }),
+
+    "q36_frame_sample" -> ((s, dir) => {
+      val n = if (dir.contains("0.1")) 2000L else 500L
+      graft.multimodal.Multimodal
+        .sampleFrames(graft.multimodal.Multimodal.dataset(s, n), 2)
+        .select(col("asset_id"), col("frame_idx"),
+          length(col("frame")).as("frame_bytes"))
+    })
   )
 
   // --- oracle SQL ------------------------------------------------------

@@ -36,7 +36,11 @@ object Dedup {
   def minhashLshBuckets(df: DataFrame, textCol: String, idCol: String,
       k: Int = 16, rows: Int = 4): DataFrame =
     df.select(col(idCol),
-        posexplode(TextFunctions.lshBandKeys(col(textCol), k, rows))
+        array_distinct(TextFunctions.tokens(col(textCol))).as("toks"))
+      .select(col(idCol),
+        TextFunctions.minhashSigFromTokens(col("toks"), k).as("sig"))
+      .select(col(idCol),
+        posexplode(TextFunctions.bandKeysFromSig(col("sig"), k, rows))
           .as(Seq("band", "band_key")))
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"),

@@ -86,21 +86,27 @@ object TextFunctions {
     aggregate(tokens(c), lit(0L),
       (h, t) => (h * 31 + length(t) + ascii(t)) % 1000000007L)
 
-  /** MinHash signature: k minima of md5(seed:token) over the token set.
+  /** MinHash signature from a PRE-MATERIALIZED distinct-token column.
     * String-min of fixed-width hex == numeric min of the 128-bit hash,
-    * so signatures are engine-portable. */
-  def minhashSignature(c: Column, k: Int): Column = {
-    val t = array_distinct(tokens(c))
-    val sig = (0 until k).map { i =>
-      array_min(transform(t, tok => md5(concat(lit(s"$i:"), tok))))
-    }
-    array(sig: _*)
-  }
+    * so signatures are engine-portable.
+    *
+    * Stage the pipeline as tokens → sig → bands through separate
+    * Projects (each a resolved attribute): inlining `sig` into the 16
+    * band-key slots would re-tokenize and re-hash every token 16× per
+    * row — a quadratic expression blowup that showed up as 15s on 500
+    * docs before staging. */
+  def minhashSigFromTokens(toks: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(toks, tok => md5(concat(lit(s"$i:"), tok))))
+    }: _*)
 
-  /** LSH band keys: md5 over `rows`-wide signature slices.
-    * bands = k / rows. */
-  def lshBandKeys(c: Column, k: Int, rows: Int): Column = {
-    val sig = minhashSignature(c, k)
+  /** MinHash signature of raw text (single-Project convenience; for
+    * anything followed by band hashing, stage via minhashSigFromTokens). */
+  def minhashSignature(c: Column, k: Int): Column =
+    minhashSigFromTokens(array_distinct(tokens(c)), k)
+
+  /** LSH band keys from a pre-materialized signature column. */
+  def bandKeysFromSig(sig: Column, k: Int, rows: Int): Column = {
     val bands = k / rows
     array((0 until bands).map { b =>
       md5(concat_ws("|",

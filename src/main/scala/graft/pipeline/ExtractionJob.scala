@@ -96,8 +96,9 @@ object ExtractionJob {
         }
         val slice = Selection.ingest(sliceRaw, wm0, spark)
         val obs = Observation(s"chunk-$chunkIdx")
-        val extracted = ExtractionPipeline
-          .extract(spark, slice, numPartitions, salt)
+        val extracted = ExtractionPipeline.repartitionForWrite(
+          ExtractionPipeline.extract(spark, slice, numPartitions, salt),
+          numPartitions, salt)
           .observe(obs,
             count(lit(1)).as("rows"),
             max(col("ts")).as("max_ts"),

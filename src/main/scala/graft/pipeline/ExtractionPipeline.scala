@@ -86,21 +86,21 @@ object ExtractionPipeline {
     * stateless per-turn transform (SURVEY.md §4.2). */
   val DefaultSalt = 8
 
-  /** Run extraction over eligible turns. `numPartitions <= 0` leaves
-    * partition count to AQE/shuffle config.
+  /** Run extraction over eligible turns.
+    *
+    * Extraction is per-turn stateless, so it runs MAP-SIDE — no shuffle
+    * of the raw payload bytes. At 100 TB that is the difference between
+    * shuffling the whole corpus and shuffling nothing: only the
+    * (boilerplate-stripped, much smaller) output is ever repartitioned,
+    * and only when the caller asks for write-layout clustering via
+    * [[repartitionForWrite]]. The salted conv_id repartition from the
+    * original design survives there — where co-location is actually
+    * needed — not here.
     */
   def extract(spark: SparkSession, eligible: DataFrame,
       numPartitions: Int = 0, salt: Int = DefaultSalt): Dataset[ExtractedTurn] = {
     import spark.implicits._
-    // co-locate a conversation's turns modulo salt: heavy conversations
-    // (the 1% ~50x tail) split across `salt` buckets instead of one
-    // straggler task
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
-    val repart = eligible
-      .repartition(parts, col("conv_id"), pmod(col("turn_idx"), lit(salt)))
-    val turns = repart
+    val turns = eligible
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
       .as[Turn]
     // mapPartitions amortizes per-partition setup (parsers are
@@ -128,5 +128,21 @@ object ExtractionPipeline {
           day = f"${cal.get(java.util.Calendar.DAY_OF_MONTH)}%02d")
       }
     }
+  }
+
+  /** Cluster extracted rows for the partitioned write: one shuffle of
+    * the small output — co-locates each output date-partition (bounded
+    * file counts) and each conversation's turns, salted so the 1% ~50×
+    * heavy conversations split across `salt` tasks instead of one
+    * straggler.
+    */
+  def repartitionForWrite(extracted: Dataset[ExtractedTurn],
+      numPartitions: Int = 0,
+      salt: Int = DefaultSalt): Dataset[ExtractedTurn] = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else extracted.sparkSession.sessionState.conf.numShufflePartitions
+    extracted.repartition(parts, col("year"), col("month"), col("day"),
+      col("conv_id"), pmod(col("turn_idx"), lit(salt)))
   }
 }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.model.{ExtractedTurn, Turn}
+import graft.pipeline.{ExtractionPipeline, Selection}
+
+/** Structured Streaming variant of the extraction pipeline: the same
+  * map-side extraction over a file-source stream, with event-time
+  * watermarking + keyed dedupe reproducing the batch pipeline's
+  * late-data policy (the reference's 1-week re-deliver window +
+  * last-write-wins sink, SURVEY.md §2.10) continuously instead of per
+  * cron run.
+  */
+object StreamingExtraction {
+
+  val turnSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[Turn].schema
+
+  /** Build the streaming extraction DataFrame from a parquet directory
+    * source. Selection reuses the batch predicates (watermark literal =
+    * job start floor; the stream's own event-time watermark handles
+    * lateness from there).
+    */
+  def extractionStream(spark: SparkSession, inputDir: String,
+      since: Timestamp, lateness: String = "7 days"): Dataset[ExtractedTurn] = {
+    val turns = spark.readStream
+      .schema(turnSchema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(inputDir)
+    val eligible = Selection.ingest(turns, since, spark)
+    ExtractionPipeline.extract(spark, eligible)
+      // event-time watermark bounds dedupe state; duplicates within the
+      // lateness window collapse on the natural key
+      .withWatermark("ts", lateness)
+      .dropDuplicates("conv_id", "turn_idx")
+  }
+
+  /** Start the stream writing partitioned parquet with exactly-once
+    * file-sink semantics (offset log + file manifest = the streaming
+    * analog of the batch snapshot commit).
+    */
+  def start(spark: SparkSession, inputDir: String, outputDir: String,
+      checkpointDir: String, since: Timestamp,
+      availableNow: Boolean = false): StreamingQuery = {
+    val q = extractionStream(spark, inputDir, since)
+      .writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("year", "month", "day")
+      .outputMode(OutputMode.Append)
+    (if (availableNow) q.trigger(Trigger.AvailableNow()) else q).start()
+  }
+
+  /** Per-conversation rolling state (arbitrary stateful processing —
+    * KeyValueGroupedDataset.mapGroupsWithState): turn counts, payload
+    * mix and last event time per conversation, emitted on update.
+    */
+  final case class ConvState(turns: Long, htmlTurns: Long, pdfTurns: Long,
+      plainTurns: Long, lastTs: Timestamp)
+  final case class ConvSummary(conv_id: String, turns: Long,
+      html_turns: Long, pdf_turns: Long, plain_turns: Long,
+      last_ts: Timestamp)
+
+  def conversationSummaries(extracted: Dataset[ExtractedTurn]): Dataset[ConvSummary] = {
+    import extracted.sparkSession.implicits._
+    extracted
+      .groupByKey(_.conv_id)
+      .mapGroupsWithState[ConvState, ConvSummary](
+        GroupStateTimeout.NoTimeout) {
+        (convId: String, rows: Iterator[ExtractedTurn], state: GroupState[ConvState]) =>
+          var s = state.getOption.getOrElse(
+            ConvState(0, 0, 0, 0, new Timestamp(0)))
+          rows.foreach { t =>
+            s = ConvState(
+              s.turns + 1,
+              s.htmlTurns + (if (t.payload_kind == "html") 1 else 0),
+              s.pdfTurns + (if (t.payload_kind == "pdf") 1 else 0),
+              s.plainTurns + (if (t.payload_kind == "plain") 1 else 0),
+              if (t.ts.after(s.lastTs)) t.ts else s.lastTs)
+          }
+          state.update(s)
+          ConvSummary(convId, s.turns, s.htmlTurns, s.pdfTurns,
+            s.plainTurns, s.lastTs)
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.fixtures.TranscriptGen
+import graft.fixtures.TranscriptGen.GenConfig
+
+class StreamingExtractionSpec extends SparkSpec {
+
+  test("file-source stream extracts with golden equality and dedupes late re-delivery") {
+    val cfg = GenConfig(nConvs = 20)
+    val in = tmpDir("stream-in-")
+    val out = tmpDir("stream-out-")
+    val ckpt = tmpDir("stream-ckpt-")
+
+    // batch 1: the table; batch 2: a re-delivered (late) copy of a slice
+    // — the dedupe must collapse it
+    val turns = TranscriptGen.dataset(spark, cfg).toDF()
+    turns.write.mode("append").parquet(in)
+    turns.filter(col("turn_idx") < 2).write.mode("append").parquet(in)
+
+    val q = StreamingExtraction.start(spark, in, out, ckpt,
+      TranscriptGen.WatermarkTs, availableNow = true)
+    q.awaitTermination(120000)
+
+    val result = spark.read.parquet(out)
+    val batchEligible = graft.pipeline.Selection
+      .ingest(turns, TranscriptGen.WatermarkTs, spark)
+    // exactly the batch-eligible set, duplicates collapsed
+    assert(result.count() == batchEligible.count())
+    assert(result.groupBy("conv_id", "turn_idx").count()
+      .filter(col("count") > 1).count() == 0)
+
+    // golden equality on the streamed output
+    val golden = TranscriptGen.goldenDataset(spark, cfg).toDF()
+      .withColumnRenamed("extracted_text", "want")
+    val bad = result.join(golden, Seq("conv_id", "turn_idx"))
+      .filter(col("extracted_text") =!= col("want"))
+    assert(bad.count() == 0)
+
+    // restart with no new data: exactly-once — nothing reprocessed
+    val q2 = StreamingExtraction.start(spark, in, out, ckpt,
+      TranscriptGen.WatermarkTs, availableNow = true)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == batchEligible.count())
+  }
+
+  test("stateful conversation summaries via mapGroupsWithState") {
+    import spark.implicits._
+    val cfg = GenConfig(nConvs = 10)
+    val eligible = graft.pipeline.Selection.ingest(
+      TranscriptGen.dataset(spark, cfg).toDF(), TranscriptGen.WatermarkTs, spark)
+    val extracted = graft.pipeline.ExtractionPipeline.extract(spark, eligible)
+    // batch mode exercise of the same stateful function
+    val sums = StreamingExtraction.conversationSummaries(extracted).collect()
+    val byConv = extracted.groupBy("conv_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.nonEmpty)
+    sums.foreach { s =>
+      assert(s.turns == byConv(s.conv_id))
+      assert(s.html_turns + s.pdf_turns + s.plain_turns == s.turns)
+    }
+  }
+}
