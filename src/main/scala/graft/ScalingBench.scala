@@ -24,8 +24,36 @@ object ScalingBench {
     // single-level mode: one JVM per parallelism level (tools/scaling.sh)
     // — same-JVM SparkContext churn contaminates cross-level timings
     sys.env.get("SPARK_GRAFT_BENCH_LEVEL").foreach { lvl =>
-      runAt(lvl, 500) // warmup
-      val runs = (1 to reps).map(_ => runAt(lvl, nConvs))
+      // measured path = parquet scan → selection → extraction → count:
+      // the real job shape. Input is materialized once outside the
+      // measurement (generation would otherwise dominate allocation).
+      val input = s"/tmp/graft_bench_input_$nConvs"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(input, "_SUCCESS"))) {
+        val prep = Bench.session("16")
+        prep.sparkContext.setLogLevel("ERROR")
+        try graft.fixtures.TranscriptGen
+          .dataset(prep, graft.fixtures.TranscriptGen.GenConfig(nConvs = nConvs))
+          .toDF().write.mode("overwrite").parquet(input)
+        finally prep.stop()
+      }
+      // ONE session for warmup + all reps: every new SparkSession loads
+      // codegen/lambda classes through a fresh classloader, resetting
+      // JIT profiles (observed 158s → 25s → 8.8s decay across fresh
+      // sessions in one JVM). Within a session, steady state arrives by
+      // rep 2.
+      val spark = Bench.session(lvl)
+      spark.sparkContext.setLogLevel("ERROR")
+      def once(): (Double, Double) = {
+        val turns = spark.read.parquet(input)
+        val eligible = graft.pipeline.Selection.ingest(
+          turns, graft.fixtures.TranscriptGen.WatermarkTs, spark)
+        val t0 = System.nanoTime()
+        val n = graft.pipeline.ExtractionPipeline.extract(spark, eligible).count()
+        (n.toDouble, (System.nanoTime() - t0) / 1e9)
+      }
+      once(); once() // warmup to C2 steady state
+      val runs = (1 to reps).map(_ => once())
+      spark.stop()
       val (rows, sec) = runs.minBy(_._2)
       println(f"""{"level":$lvl,"rows":$rows%.0f,"sec":$sec%.3f,"all":[${runs.map(r => f"${r._2}%.3f").mkString(",")}]}""")
       return
@@ -105,6 +133,21 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("ERROR")
     try Bench.timeExtract(spark, nConvs)
     finally spark.stop()
+  }
+
+  /** Scan→select→extract→count over a materialized parquet input, in a
+    * fresh session. */
+  private def runFrom(cpus: String, input: String): (Double, Double) = {
+    val spark = Bench.session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val turns = spark.read.parquet(input)
+      val eligible = graft.pipeline.Selection.ingest(
+        turns, graft.fixtures.TranscriptGen.WatermarkTs, spark)
+      val t0 = System.nanoTime()
+      val n = graft.pipeline.ExtractionPipeline.extract(spark, eligible).count()
+      (n.toDouble, (System.nanoTime() - t0) / 1e9)
+    } finally spark.stop()
   }
 
   /** Pure-CPU parallel FNV hashing at `threads`; returns seconds. */

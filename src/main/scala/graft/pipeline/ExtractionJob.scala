@@ -44,11 +44,12 @@ object ExtractionJob {
       system: String = "cs", mode: String = "ingest",
       overrideWatermark: Option[String] = None,
       nChunks: Int = 1, salt: Int = ExtractionPipeline.DefaultSalt,
-      numPartitions: Int = 0): JobResult = {
+      numPartitions: Int = 0, sink: Option[EventSink] = None): JobResult = {
 
     val t0 = System.nanoTime()
     val store = new CheckpointStore(tableRoot)
     val table = new SnapshotTable(tableRoot)
+    val eventSink = sink.getOrElse(new ParquetEventSink(tableRoot))
     val runId = java.util.UUID.randomUUID().toString.take(8)
 
     // watermark read (must exist — seed at table creation); malformed
@@ -123,6 +124,12 @@ object ExtractionJob {
           .withColumn("snapshot_id", lit(snapshotId))
           .withColumn("status", lit("COMMITTED"))
         lineage.write.mode("append").parquet(s"$tableRoot/lineage")
+        // keyed event publish (X3 analog) — the flush barrier: events
+        // are durable before the watermark can advance
+        eventSink.publish(
+          EventSink.keyedEvents(
+            spark.read.parquet(s"$tableRoot/data/$snapshotId")),
+          topic = s"$system-$mode")
         snapshots += snapshotId
         // watermark := max ts of the committed chunk (A2 running-max,
         // TxaKafkaItemWriter.java:52-79); empty chunk keeps prior wm
@@ -151,6 +158,59 @@ object ExtractionJob {
       rowsWritten, committed, wm, durationSec)
     JobResult(status, rowsRead, rowsWritten, committed, wm,
       snapshots.toSeq, durationSec, error)
+  }
+
+  /** Delete-mode run (reference §3.2: reader → writer, no processor):
+    * select tombstone rows since watermark − 7 days (the deliberate
+    * late-data re-deliver window, PostgresItemReader.java:140-166),
+    * dedupe keyed last-write-wins, publish tombstone events, and
+    * advance the DELETE watermark only — the ingest watermark is
+    * untouched (DeleteScenario1Test.java:97-119 invariant).
+    */
+  def runDelete(spark: SparkSession, tombstones: DataFrame,
+      tableRoot: String, system: String = "cs",
+      overrideWatermark: Option[String] = None,
+      sink: Option[EventSink] = None): JobResult = {
+    import org.apache.spark.sql.expressions.Window
+    val t0 = System.nanoTime()
+    val store = new CheckpointStore(tableRoot)
+    val eventSink = sink.getOrElse(new ParquetEventSink(tableRoot))
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val wm0 = store.read(system, "delete", overrideWatermark)
+    try {
+      val selected = Selection.deleteLookback(tombstones, wm0)
+      // last-write-wins on the natural key: the lookback makes
+      // re-delivery idempotent
+      val w = Window.partitionBy(col("conv_id"), col("turn_idx"))
+        .orderBy(col("ts").desc)
+      val deduped = selected
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val obs = Observation("delete")
+      val events = EventSink.tombstones(
+        deduped.observe(obs, count(lit(1)).as("rows"),
+          max(col("ts")).as("max_ts")))
+      eventSink.publish(events, topic = s"$system-delete")
+      val row = obs.get
+      val n = row("rows").asInstanceOf[Long]
+      val wm = if (n > 0) row("max_ts") match {
+        case t: Timestamp => t
+        case i: java.time.Instant => Timestamp.from(i)
+        case other => Timestamp.valueOf(other.toString)
+      } else wm0
+      if (n > 0) store.write(system, "delete", wm)
+      val durationSec = (System.nanoTime() - t0) / 1e9
+      writeMetrics(spark, tableRoot, runId, system, "delete", "COMPLETED",
+        n, n, 1, wm, durationSec)
+      JobResult("COMPLETED", n, n, 1, wm, Seq.empty, durationSec, None)
+    } catch {
+      case e: Throwable =>
+        val durationSec = (System.nanoTime() - t0) / 1e9
+        writeMetrics(spark, tableRoot, runId, system, "delete", "FAILED",
+          0, 0, 0, wm0, durationSec)
+        JobResult("FAILED", 0, 0, 0, wm0, Seq.empty, durationSec,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+    }
   }
 
   private def writeMetrics(spark: SparkSession, tableRoot: String,

@@ -108,6 +108,40 @@ class ExtractionJobSpec extends SparkSpec {
       "resume processes exactly the uncommitted remainder")
   }
 
+  test("keyed events are published with the reference wire format") {
+    val (root, _) = freshTable()
+    val turns = TranscriptGen.dataset(spark, GenConfig(nConvs = 10)).toDF()
+    val res = ExtractionJob.run(spark, turns, root)
+    assert(res.status == "COMPLETED")
+    val events = EventSink.readTopic(spark, root, "cs-ingest")
+    assert(events.count() == res.rowsWritten)
+    val r = events.filter(col("value").contains("\"payloadKind\":\"html\"")).head()
+    val value = r.getString(events.columns.indexOf("value"))
+    // camelCase keys + epoch-millis ts (DocumentSerializerTest analog)
+    assert(value.contains("\"convId\":\"") && value.contains("\"turnIdx\":"))
+    assert("\"ts\":(\\d{13})".r.findFirstIn(value).isDefined, value)
+    assert(r.getString(events.columns.indexOf("key")).startsWith("conv-"))
+  }
+
+  test("delete run: lookback + last-write-wins, ingest watermark untouched") {
+    val (root, store) = freshTable()
+    store.seed("cs", "delete", TranscriptGen.WatermarkTs)
+    val ingestWmBefore = store.read("cs", "ingest")
+    val turns = TranscriptGen.dataset(spark, GenConfig(nConvs = 15)).toDF()
+    // duplicate a slice to simulate re-delivery inside the window
+    val tomb = turns.unionByName(turns.filter(col("turn_idx") === 0))
+    val res = ExtractionJob.runDelete(spark, tomb, root)
+    assert(res.status == "COMPLETED" && res.rowsWritten > 0)
+    val events = EventSink.readTopic(spark, root, "cs-delete")
+    // duplicates collapsed (keyed last-write-wins)
+    assert(events.count() == res.rowsWritten)
+    assert(events.groupBy("key", "value").count()
+      .filter(col("count") > 1).count() == 0)
+    // delete watermark advanced; ingest watermark untouched
+    assert(store.read("cs", "delete").after(TranscriptGen.WatermarkTs))
+    assert(store.read("cs", "ingest") == ingestWmBefore)
+  }
+
   test("delete-mode lookback re-delivers the late window") {
     val wm = new Timestamp(TranscriptGen.BaseEpochMs + 10 * 86400000L)
     val turns = TranscriptGen.dataset(spark, cfg).toDF()

@@ -70,9 +70,12 @@ No real cluster exists in this sandbox (BASELINE.md): the same extraction
 job runs at local[4/8/16/32] over identical deterministic input
 ({convs} conversations → {rows:.0f} extracted turns),
 `spark.sql.shuffle.partitions` = cores, AQE on, best of {reps} reps after
-JIT warmup, **one fresh JVM per level** (same-JVM context churn skews
-timings). Pipeline: watermark + allow-list selection → map-side
-mapPartitions HTML/PDF/plain extraction (no raw-payload shuffle) → count.
+two full-size warmups, one fresh JVM per level, one SparkSession per JVM
+(fresh sessions reset JIT profiles through new classloaders), 8g heap
+(larger heaps push G1 into a pathological regime for this allocation
+profile: 100s+ at 24g vs 2s at 8g on identical work). Pipeline: parquet
+scan → watermark + allow-list selection → map-side mapPartitions
+HTML/PDF/plain extraction (no raw-payload shuffle) → count.
 
 **Host ceiling**: 16 physical cores + SMT (32 logical). A pure-CPU FNV-hash
 microbenchmark (no Spark, embarrassingly parallel, own JVM per level)
