@@ -221,6 +221,27 @@ object SparkEntry {
           col("event_id").cast("string").as("id"))
     }),
 
+    // Sessionization — gap-based session assignment (window lag + running
+    // sum), the classic event-stream operator over the events table
+    "q17_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("long") -
+              col("prev_ts").cast("timestamp").cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).cast("string").as("sess_start"),
+          max(col("ts")).cast("string").as("sess_end"))
+    }),
+
     // North star X1 — full extraction pipeline over the deterministic
     // synthetic transcript table (no SQL oracle: correctness is pinned
     // by golden-equality specs in ExtractionJobSpec/GeneratorGoldenSpec)
@@ -347,6 +368,23 @@ object SparkEntry {
         |  '","eventType":"' || event_type ||
         |  '","ts":' || CAST(epoch_ms(ts) AS VARCHAR) || '}' AS sidecar
         |FROM events""".stripMargin,
+
+    "q17_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  CAST(min(ts) AS VARCHAR) AS sess_start,
+        |  CAST(max(ts) AS VARCHAR) AS sess_end
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
 
     "q14_dedup_lastwin" ->
       """SELECT user_id, event_type, CAST(event_id AS VARCHAR) AS id FROM (

@@ -91,6 +91,13 @@ object TrainingQueries {
       Ann.lshTopK(embs(s, dir), "embedding", "vec_id",
         queryVec(s, dir), 10)),
 
+    // BPE-ish regex token counting (letters / digits / punct runs) —
+    // the subword-style counterpart of whitespace q20
+    "q37_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))).as("n_bpe"))),
+
     // multimodal plumbing (binary columns + typed metadata; fake codec,
     // real batch shape — no SQL oracle, pinned by MultimodalSpec)
     "q34_media_meta" -> ((s, dir) => {
@@ -166,6 +173,11 @@ object TrainingQueries {
 
     "q23_fingerprint" ->
       s"SELECT doc_id, substr(md5($NORM), 1, 16) AS fp FROM documents",
+
+    "q37_bpe_tokens" ->
+      """SELECT doc_id, len(regexp_extract_all(text,
+        |  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe
+        |FROM documents""".stripMargin,
 
     "q24_rolling_hash" ->
       s"""SELECT doc_id, list_reduce(

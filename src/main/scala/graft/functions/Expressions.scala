@@ -81,11 +81,44 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
+/** Native Catalyst expression exposing the full extraction dispatch
+  * (sniff → HTML/PDF/plain) as a scalar SQL function. Interpreted eval
+  * only (CodegenFallback): the extractor is a library call, not
+  * expression-tree arithmetic — but it still runs inside the task,
+  * vectorized by the surrounding WholeStageCodegen consume loop, with
+  * no UDF registration/serialization overhead.
+  */
+case class ExtractMainContent(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      graft.extract.Extractor.extract(v.asInstanceOf[UTF8String].toString).text)
+  override protected def withNewChildInternal(c: Expression): ExtractMainContent =
+    copy(c)
+}
+
+/** Companion that returns the sniffed payload kind. */
+case class SniffPayload(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      graft.extract.PayloadSniffer.sniff(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): SniffPayload =
+    copy(c)
+}
+
 object Expressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
   def fnv1a64(c: Column): Column = column(Fnv1a64(expression(c)))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def extractMainContent(c: Column): Column =
+    column(ExtractMainContent(expression(c)))
+  def sniffPayload(c: Column): Column = column(SniffPayload(expression(c)))
 
   /** SQL registration so the expressions are usable from spark.sql. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -94,5 +127,9 @@ object Expressions {
       exprs => Fnv1a64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_main_content",
+      exprs => ExtractMainContent(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sniff_payload",
+      exprs => SniffPayload(exprs.head), "scala_udf")
   }
 }

@@ -43,6 +43,24 @@ class ExpressionsSpec extends SparkSpec {
     val r = spark.sql("SELECT fnv1a64('foobar') AS h, simhash64('x y') AS s").head()
     assert(r.getLong(0) == 0x85944171f73967e8L)
   }
+
+  test("extraction is SQL-surfaced: extract_main_content + sniff_payload") {
+    Expressions.register(spark)
+    import spark.implicits._
+    val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (s"<html><body><nav><a href='/'>x</a></nav><p>$para</p></body></html>", "html"),
+      ("plain words here", "plain"),
+      ("%PDF-1.4\nstream\nBT 72 700 Td (pdf line) Tj ET\nendstream", "pdf"))
+      .toDF("text", "want_kind").createOrReplaceTempView("payloads")
+    val rows = spark.sql(
+      """SELECT sniff_payload(text) AS kind,
+        |       extract_main_content(text) AS out, want_kind
+        |FROM payloads""".stripMargin).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(2), r.toString))
+    assert(rows.map(_.getString(1)).toSet ==
+      Set(para, "plain words here", "pdf line"))
+  }
 }
 
 class AnnSpec extends SparkSpec {
