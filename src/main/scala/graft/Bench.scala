@@ -29,7 +29,7 @@ object Bench {
     val nConvs =
       if (sfDir.contains("0.001")) 50
       else if (sfDir.contains("0.01")) 500
-      else 5000
+      else 20000
     val (turns, extractSec) = timeExtract(spark, nConvs)
     val turnsPerSec = if (extractSec > 0) turns / extractSec else 0.0
 

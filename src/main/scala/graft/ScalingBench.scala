@@ -52,10 +52,41 @@ object ScalingBench {
         (n.toDouble, (System.nanoTime() - t0) / 1e9)
       }
       once(); once() // warmup to C2 steady state
-      val runs = (1 to reps).map(_ => once())
+
+      // noise rejection: the host is shared — discard reps where CPU
+      // not attributable to this JVM exceeds half a core
+      def hostBusyJiffies(): (Long, Long) = {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val v = f.getLines().next().split("\\s+").drop(1).map(_.toLong)
+          (v.sum - v(3) - v(4), v.sum)
+        } finally f.close()
+      }
+      val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      def measured(): Option[(Double, Double)] = {
+        val (b0, _) = hostBusyJiffies()
+        val my0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        val r = once()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (b1, _) = hostBusyJiffies()
+        val mySec = (osBean.getProcessCpuTime - my0) / 1e9
+        val otherCores = ((b1 - b0) / 100.0 - mySec) / wall
+        if (otherCores > 0.5) {
+          System.err.println(f"[scaling] rep rejected: external load $otherCores%.1f cores")
+          None
+        } else Some(r)
+      }
+      val clean = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      var attempts = 0
+      while (clean.length < reps && attempts < reps * 5) {
+        measured().foreach(clean += _); attempts += 1
+      }
       spark.stop()
-      val (rows, sec) = runs.minBy(_._2)
-      println(f"""{"level":$lvl,"rows":$rows%.0f,"sec":$sec%.3f,"all":[${runs.map(r => f"${r._2}%.3f").mkString(",")}]}""")
+      require(clean.nonEmpty, "no clean reps — host too noisy")
+      val (rows, sec) = clean.minBy(_._2)
+      println(f"""{"level":$lvl,"rows":$rows%.0f,"sec":$sec%.3f,"all":[${clean.map(r => f"${r._2}%.3f").mkString(",")}],"attempts":$attempts}""")
       return
     }
 

@@ -224,9 +224,14 @@ object TrainingQueries {
         .mkString(" UNION ALL ")
       s"""WITH sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS s FROM documents),
          |bk AS ($bands),
+         |ok AS (
+         |  SELECT band, band_key FROM bk GROUP BY band, band_key
+         |  HAVING count(*) BETWEEN 2 AND 64),
          |pairs AS (
          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bk l JOIN bk r ON l.band = r.band AND l.band_key = r.band_key
+         |  FROM bk l
+         |  JOIN ok USING (band, band_key)
+         |  JOIN bk r ON l.band = r.band AND l.band_key = r.band_key
          |  WHERE l.doc_id < r.doc_id),
          |sh AS (SELECT doc_id, list_distinct(list_transform(
          |    list_zip(t[1:-3], t[2:-2], t[3:-1]),

@@ -166,32 +166,42 @@ object HtmlDom {
         selfClosed = true; done = true; i += 2
       } else if (Character.isWhitespace(c)) i += 1
       else {
-        // attribute name
+        // attribute name — matched region-wise against the retained set
+        // first, so non-retained attributes allocate nothing
         val a0 = i
         while (i < n && !Character.isWhitespace(html.charAt(i)) &&
                html.charAt(i) != '=' && html.charAt(i) != '>' &&
                html.charAt(i) != '/') i += 1
-        val name = html.substring(a0, i).toLowerCase
+        val nameLen = i - a0
+        val retainedName =
+          if (nameLen == 4 && html.regionMatches(true, a0, "href", 0, 4)) "href"
+          else if (nameLen == 5 && html.regionMatches(true, a0, "class", 0, 5)) "class"
+          else if (nameLen == 2 && html.regionMatches(true, a0, "id", 0, 2)) "id"
+          else null
         while (i < n && Character.isWhitespace(html.charAt(i))) i += 1
-        var value = ""
         if (i < n && html.charAt(i) == '=') {
           i += 1
           while (i < n && Character.isWhitespace(html.charAt(i))) i += 1
+          var v0 = i
+          var v1 = i
           if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
             val q = html.charAt(i); i += 1
-            val v0 = i
+            v0 = i
             while (i < n && html.charAt(i) != q) i += 1
-            value = html.substring(v0, i)
+            v1 = i
             if (i < n) i += 1
           } else {
-            val v0 = i
+            v0 = i
             while (i < n && !Character.isWhitespace(html.charAt(i)) &&
                    html.charAt(i) != '>') i += 1
-            value = html.substring(v0, i)
+            v1 = i
           }
-        }
-        if (name.nonEmpty && RetainedAttrs.contains(name)) {
-          attrs = attrs.updated(name, decodeEntities(value))
+          if (retainedName != null) {
+            attrs = attrs.updated(retainedName,
+              decodeEntities(html.substring(v0, v1)))
+          }
+        } else if (retainedName != null) {
+          attrs = attrs.updated(retainedName, "")
         }
       }
     }

@@ -46,33 +46,56 @@ object HtmlExtractor {
   private val LongBlockMaxLinkDensity = 0.5
   private val ShortNeighborMinWords = 3
 
-  /** Flatten the DOM into feature-scored text blocks (document order). */
+  /** Flatten the DOM into feature-scored text blocks (document order).
+    *
+    * Allocation-lean on purpose: words stream into one reused
+    * StringBuilder (no per-word substring, no word list, no mkString) —
+    * at 10⁶ docs × ~50 words that removes ~10⁸ transient allocations,
+    * which is what limits multi-core scaling of the extraction stage
+    * (allocation-rate bound, see BENCH/BASELINE.md).
+    */
   def blocks(root: Element): Vector[Block] = {
     val out = ArrayBuffer.empty[Block]
-    val words = ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var wordCount = 0
     var linkWords = 0
     var curBoiler = false
     var curHeading = false
 
     def flush(): Unit = {
-      if (words.nonEmpty) {
-        out += Block(words.mkString(" "), words.length, linkWords,
+      if (wordCount > 0) {
+        out += Block(sb.toString, wordCount, linkWords,
           curBoiler, curHeading)
-        words.clear()
+        sb.setLength(0)
+        wordCount = 0
       }
       linkWords = 0
+    }
+
+    def appendText(v: String, inLink: Boolean, inBoiler: Boolean,
+        inHeading: Boolean): Unit = {
+      var i = 0
+      val n = v.length
+      var added = false
+      while (i < n) {
+        while (i < n && Character.isWhitespace(v.charAt(i))) i += 1
+        val w0 = i
+        while (i < n && !Character.isWhitespace(v.charAt(i))) i += 1
+        if (i > w0) {
+          if (wordCount > 0) sb.append(' ')
+          sb.append(v, w0, i)
+          wordCount += 1
+          if (inLink) linkWords += 1
+          added = true
+        }
+      }
+      if (added) { curBoiler = inBoiler; curHeading = inHeading }
     }
 
     def walk(node: Node, inLink: Boolean, inBoiler: Boolean,
         inHeading: Boolean): Unit = node match {
       case Text(v) =>
-        val ws = tokenize(v)
-        if (ws.nonEmpty) {
-          curBoiler = inBoiler
-          curHeading = inHeading
-          words ++= ws
-          if (inLink) linkWords += ws.length
-        }
+        appendText(v, inLink, inBoiler, inHeading)
       case e: Element =>
         if (DropTags.contains(e.tag)) return
         val isBlock = BlockTags.contains(e.tag)

@@ -51,12 +51,20 @@ object Dedup {
     * with exact n-gram Jaccard ≥ threshold. Pair blow-up is bounded by
     * bucket sizes, not corpus size.
     */
+  /** Mega-buckets (band keys shared by a large fraction of the corpus)
+    * are degenerate for near-dup detection and explode quadratically —
+    * standard LSH practice is to drop them. 64 keeps pair counts
+    * bucket-bounded at any corpus size. */
+  val MaxBucketForPairs = 64
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.7,
-      k: Int = 16, rows: Int = 4): DataFrame = {
+      k: Int = 16, rows: Int = 4,
+      maxBucket: Int = MaxBucketForPairs): DataFrame = {
     val withShingles = df.select(col(idCol).as("id"),
       TextFunctions.shingles(col(textCol), n).as("sh"))
     val buckets = minhashLshBuckets(df, textCol, idCol, k, rows)
+      .filter(col("n") <= maxBucket)
     val pairs = buckets
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
