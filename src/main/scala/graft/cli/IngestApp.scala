@@ -1,0 +1,71 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.ExtractionJob
+import graft.table.CheckpointStore
+
+/** spark-submit entrypoint — the engine analog of the reference's four
+  * CronJob invocations (cs/wcs × ingest/delete, helm/notprod.yaml:1-17):
+  * one JVM per (system × mode) run, mode dispatch by flag, watermark
+  * override for backfills.
+  *
+  * Usage:
+  * {{{
+  * spark-submit --class graft.cli.IngestApp <jar> \
+  *   --input  <transcript table path (parquet dir)> \
+  *   --table  <output table root> \
+  *   [--system cs] [--mode ingest|delete] [--chunks 8] [--salt 8]
+  *   [--since "2023-03-22 11:59:59"]   # watermark override (backfill)
+  *   [--seed-watermark "..."]          # bootstrap a missing checkpoint
+  * }}}
+  */
+object IngestApp {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args.toList, Map.empty)
+    val input = opts.getOrElse("input", sys.error("--input required"))
+    val table = opts.getOrElse("table", sys.error("--table required"))
+    val system = opts.getOrElse("system", "cs")
+    val mode = opts.getOrElse("mode", "ingest")
+    val nChunks = opts.getOrElse("chunks", "8").toInt
+    val salt = opts.getOrElse("salt", "8").toInt
+
+    val spark = SparkSession.builder()
+      .appName(s"graft-$system-$mode")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    opts.get("seed-watermark").foreach { ts =>
+      new CheckpointStore(table).seed(system, mode,
+        java.sql.Timestamp.valueOf(ts))
+    }
+
+    val turns = spark.read.parquet(input)
+    val result = mode match {
+      case "ingest" =>
+        ExtractionJob.run(spark, turns, table, system, mode,
+          overrideWatermark = opts.get("since"), nChunks = nChunks,
+          salt = salt)
+      case "delete" =>
+        ExtractionJob.runDelete(spark, turns, table, system,
+          overrideWatermark = opts.get("since"))
+      case other => sys.error(s"unknown --mode $other")
+    }
+
+    println(
+      f"""{"status":"${result.status}","rowsWritten":${result.rowsWritten},"chunksCommitted":${result.chunksCommitted},"watermark":"${result.watermark}","turnsPerSec":${if (result.durationSec > 0) result.rowsWritten / result.durationSec else 0.0}%.1f,"error":${result.error.map("\"" + _.replace("\"", "'") + "\"").getOrElse("null")}}""")
+    spark.stop()
+    if (result.status != "COMPLETED") sys.exit(1)
+  }
+
+  @annotation.tailrec
+  private def parse(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case key :: value :: rest if key.startsWith("--") =>
+        parse(rest, acc.updated(key.drop(2), value))
+      case Nil => acc
+      case other => sys.error(s"bad args: $other")
+    }
+}

@@ -112,24 +112,26 @@ object ExtractionJob {
         val n = row("rows").asInstanceOf[Long]
         rowsRead += n
         rowsWritten += n
-        // lineage rows: per (day-partition) stats of what this chunk
-        // committed — column-pruned scan of the just-written snapshot
-        val lineage = spark.read.parquet(s"$tableRoot/data/$snapshotId")
-          .groupBy(col("year"), col("month"), col("day"))
-          .agg(count(lit(1)).as("rows"),
-            min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
-            sum(col("n_spans")).as("n_spans"))
-          .withColumn("run_id", lit(runId))
-          .withColumn("chunk", lit(chunkIdx))
-          .withColumn("snapshot_id", lit(snapshotId))
-          .withColumn("status", lit("COMMITTED"))
-        lineage.write.mode("append").parquet(s"$tableRoot/lineage")
-        // keyed event publish (X3 analog) — the flush barrier: events
-        // are durable before the watermark can advance
-        eventSink.publish(
-          EventSink.keyedEvents(
-            spark.read.parquet(s"$tableRoot/data/$snapshotId")),
-          topic = s"$system-$mode")
+        if (n > 0) {
+          // lineage rows: per (day-partition) stats of what this chunk
+          // committed — column-pruned scan of the just-written snapshot
+          val lineage = spark.read.parquet(s"$tableRoot/data/$snapshotId")
+            .groupBy(col("year"), col("month"), col("day"))
+            .agg(count(lit(1)).as("rows"),
+              min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+              sum(col("n_spans")).as("n_spans"))
+            .withColumn("run_id", lit(runId))
+            .withColumn("chunk", lit(chunkIdx))
+            .withColumn("snapshot_id", lit(snapshotId))
+            .withColumn("status", lit("COMMITTED"))
+          lineage.write.mode("append").parquet(s"$tableRoot/lineage")
+          // keyed event publish (X3 analog) — the flush barrier: events
+          // are durable before the watermark can advance
+          eventSink.publish(
+            EventSink.keyedEvents(
+              spark.read.parquet(s"$tableRoot/data/$snapshotId")),
+            topic = s"$system-$mode")
+        }
         snapshots += snapshotId
         // watermark := max ts of the committed chunk (A2 running-max,
         // TxaKafkaItemWriter.java:52-79); empty chunk keeps prior wm

@@ -144,5 +144,10 @@ object ExtractionPipeline {
       else extracted.sparkSession.sessionState.conf.numShufflePartitions
     extracted.repartition(parts, col("year"), col("month"), col("day"),
       col("conv_id"), pmod(col("turn_idx"), lit(salt)))
+      // stable (conv_id, turn_idx) order inside every output file (O1):
+      // downstream readers see turns in order, and parquet min/max
+      // column stats stay tight for conv_id point lookups
+      .sortWithinPartitions(col("year"), col("month"), col("day"),
+        col("conv_id"), col("turn_idx"))
   }
 }

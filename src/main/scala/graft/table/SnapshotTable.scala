@@ -58,14 +58,43 @@ final class SnapshotTable(val root: String) {
     snapshotId
   }
 
-  /** Read the currently-committed snapshot (empty DataFrame if none). */
+  /** Read the currently-committed snapshot. */
   def read(spark: SparkSession): DataFrame = currentSnapshotId match {
-    case Some(id) =>
-      spark.read
-        .option("basePath", Paths.get(root, "data", id).toString)
-        .parquet(Paths.get(root, "data", id).toString)
+    case Some(id) => readAt(spark, id)
     case None =>
       throw new IllegalStateException(s"table $root has no committed snapshot")
+  }
+
+  /** Time travel: read the table as of a specific committed snapshot
+    * (snapshots are immutable — an Iceberg `VERSION AS OF` analog). */
+  def readAt(spark: SparkSession, snapshotId: String): DataFrame =
+    spark.read
+      .option("basePath", Paths.get(root, "data", snapshotId).toString)
+      .parquet(Paths.get(root, "data", snapshotId).toString)
+
+  /** All committed snapshot ids in commit order (ids are
+    * timestamp-prefixed, so lexicographic order == commit order). */
+  def history(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(metaDir)) return Seq.empty
+    Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("snapshot-") && n.endsWith(".json"))
+      .map(_.stripPrefix("snapshot-").stripSuffix(".json"))
+      .toSeq.sorted
+  }
+
+  /** Incremental read: union of snapshots committed strictly AFTER
+    * `sinceSnapshotId` up to `current` — the Iceberg incremental-scan
+    * analog that lets a downstream consumer resume from its own
+    * checkpointed snapshot id instead of re-reading the table. */
+  def readIncremental(spark: SparkSession,
+      sinceSnapshotId: String): DataFrame = {
+    val newer = history().filter(_ > sinceSnapshotId)
+    if (newer.isEmpty)
+      spark.emptyDataFrame
+    else
+      newer.map(readAt(spark, _)).reduce(_.unionByName(_))
   }
 
   def snapshotSummary(id: String): Map[String, String] = {

@@ -108,6 +108,19 @@ class ExtractionJobSpec extends SparkSpec {
       "resume processes exactly the uncommitted remainder")
   }
 
+  test("resume with no new data completes with zero rows (empty chunks)") {
+    val (root, store) = freshTable()
+    val turns = TranscriptGen.dataset(spark, GenConfig(nConvs = 10)).toDF()
+    val res1 = ExtractionJob.run(spark, turns, root, nChunks = 2)
+    assert(res1.status == "COMPLETED" && res1.rowsWritten > 0)
+    val wm = store.read("cs", "ingest")
+    // second run sees nothing past the advanced watermark
+    val res2 = ExtractionJob.run(spark, turns, root, nChunks = 2)
+    assert(res2.status == "COMPLETED", res2.error.toString)
+    assert(res2.rowsWritten == 0)
+    assert(store.read("cs", "ingest") == wm, "watermark unchanged")
+  }
+
   test("keyed events are published with the reference wire format") {
     val (root, _) = freshTable()
     val turns = TranscriptGen.dataset(spark, GenConfig(nConvs = 10)).toDF()

@@ -1,0 +1,50 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("time travel and incremental read across commits") {
+    val root = tmpDir("snap-")
+    val t = new SnapshotTable(root)
+    val s1 = t.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq.empty)
+    val s2 = t.commit(Seq((3, "c")).toDF("k", "v"), Seq.empty)
+    val s3 = t.commit(Seq((4, "d"), (5, "e")).toDF("k", "v"), Seq.empty)
+
+    assert(t.history() == Seq(s1, s2, s3))
+    assert(t.currentSnapshotId.contains(s3))
+    // current read = latest snapshot only (snapshots are full commits)
+    assert(t.read(spark).count() == 2)
+    // time travel
+    assert(t.readAt(spark, s1).orderBy("k").as[(Int, String)].collect()
+      .toSeq == Seq((1, "a"), (2, "b")))
+    // incremental: everything after s1
+    val inc = t.readIncremental(spark, s1)
+    assert(inc.orderBy("k").select("k").as[Int].collect().toSeq == Seq(3, 4, 5))
+    // nothing after the newest
+    assert(t.readIncremental(spark, s3).count() == 0)
+  }
+
+  test("snapshot summary round-trips") {
+    val root = tmpDir("snap-")
+    val t = new SnapshotTable(root)
+    val id = t.commit(Seq((1, "a")).toDF("k", "v"), Seq.empty,
+      Map("run-id" -> "r1", "mode" -> "ingest"))
+    val sum = t.snapshotSummary(id)
+    assert(sum("run-id") == "r1" && sum("mode") == "ingest")
+  }
+
+  test("partitioned commit writes hive-style layout readable with pruning") {
+    val root = tmpDir("snap-")
+    val t = new SnapshotTable(root)
+    val df = Seq((1, "2023", "a"), (2, "2024", "b")).toDF("k", "year", "v")
+    val id = t.commit(df, Seq("year"))
+    val read = t.readAt(spark, id).filter(col("year") === "2024")
+    assert(read.count() == 1)
+    // partition-pruned scan: only the year=2024 directory is listed
+    val scan = read.queryExecution.executedPlan.toString
+    assert(!scan.contains("year=2023") || scan.contains("PartitionFilters"))
+  }
+}
