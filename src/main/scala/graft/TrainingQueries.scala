@@ -91,6 +91,10 @@ object TrainingQueries {
       Ann.lshTopK(embs(s, dir), "embedding", "vec_id",
         queryVec(s, dir), 10)),
 
+    "q38_ivf_ann" -> ((s, dir) =>
+      Ann.ivfTopK(embs(s, dir), "embedding", "vec_id",
+        queryVec(s, dir), 10)),
+
     // BPE-ish regex token counting (letters / digits / punct runs) —
     // the subword-style counterpart of whitespace q20
     "q37_bpe_tokens" -> ((s, dir) =>

@@ -64,6 +64,44 @@ object Ann {
     }
   }
 
+  /** IVF coarse quantizer: deterministic centroids (the lowest-id
+    * vectors — a fixed "training sample"), L2 assignment, query probes
+    * the `nProbe` nearest centroids and runs the exact scan only inside
+    * those cells. At cluster scale the table is written bucketed by
+    * `ivf_cell`, so probing prunes files, not just rows.
+    */
+  def ivfCentroids(df: DataFrame, vecCol: String, idCol: String,
+      nCentroids: Int): Array[Array[Double]] =
+    df.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cell id = argmin L2 distance to the centroid list. */
+  def ivfCell(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    val v = asDouble(vecCol)
+    val dists = array(centroids.map(c => l2sq(v, array(c.map(lit): _*))): _*)
+    // array_position is 1-based → cells are 1..nCentroids
+    array_position(dists, array_min(dists)).cast("int")
+  }
+
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(df, vecCol, idCol, nCentroids)
+    def dist(c: Array[Double]): Double =
+      c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probes = cents.zipWithIndex
+      .sortBy { case (c, _) => dist(c) }
+      .take(nProbe).map(_._2 + 1) // 1-based cells
+    val cells = df.withColumn("ivf_cell", ivfCell(col(vecCol), cents))
+    cosineTopK(cells.filter(col("ivf_cell").isin(probes.toSeq: _*)),
+      vecCol, idCol, query, k)
+  }
+
   /** Sign-LSH bucket id (0 .. 2^nPlanes-1) of a vector column. */
   def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
     val v = asDouble(vecCol)

@@ -89,6 +89,21 @@ class AnnSpec extends SparkSpec {
     assert((exact intersect approx).nonEmpty)
   }
 
+  test("ivf topk: query finds itself; recall overlaps exact ranking") {
+    val q = embs.filter(col("vec_id") === 0)
+      .head().getSeq[Float](embs.columns.indexOf("embedding")).map(_.toDouble)
+    val ivf = Ann.ivfTopK(embs, "embedding", "vec_id", q, 10).collect()
+    assert(ivf.head.getLong(0) == 0L, "query vector in its own probed cell")
+    val exact = Ann.cosineTopK(embs, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((ivf.map(_.getLong(0)).toSet intersect exact).nonEmpty)
+    // cells partition the corpus: every vector belongs to exactly one
+    val cents = Ann.ivfCentroids(embs, "embedding", "vec_id", 16)
+    val celled = embs.withColumn("c", Ann.ivfCell(col("embedding"), cents))
+    assert(celled.filter(col("c").isNull || col("c") < 1 || col("c") > 16)
+      .count() == 0)
+  }
+
   test("lsh bucket assignment is deterministic") {
     val planes = Ann.hyperplanes(8, 64)
     val b1 = embs.withColumn("b", Ann.lshBucket(col("embedding"), planes))
