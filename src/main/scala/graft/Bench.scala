@@ -24,20 +24,22 @@ object Bench {
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    // headline: extraction throughput on a transcript table sized ~60k
-    // turns (scaled down for smaller sf dirs)
-    val nConvs =
-      if (sfDir.contains("0.001")) 50
-      else if (sfDir.contains("0.01")) 500
-      else 20000
-    val (turns, extractSec) = timeExtract(spark, nConvs)
-    val turnsPerSec = if (extractSec > 0) turns / extractSec else 0.0
-
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // headline: extraction throughput on a transcript table sized ~150k
+    // turns (scaled down for smaller sf dirs); one warmup pass so the
+    // number reflects steady-state, not first-action JIT
+    val nConvs =
+      if (sfDir.contains("0.001")) 50
+      else if (sfDir.contains("0.01")) 500
+      else 20000
+    timeExtract(spark, math.max(nConvs / 4, 50))
+    val (turns, extractSec) = timeExtract(spark, nConvs)
+    val turnsPerSec = if (extractSec > 0) turns / extractSec else 0.0
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + extractSec
