@@ -51,6 +51,9 @@ object TrainingQueries {
     "q25_exact_dedup" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "text", "doc_id")),
 
+    "q39_exact_dedup_fp" -> ((s, dir) =>
+      Dedup.exactGroupsByFingerprint(docs(s, dir), "text", "doc_id")),
+
     "q26_minhash_sig" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
@@ -177,6 +180,10 @@ object TrainingQueries {
 
     "q23_fingerprint" ->
       s"SELECT doc_id, substr(md5($NORM), 1, 16) AS fp FROM documents",
+
+    "q39_exact_dedup_fp" ->
+      s"""SELECT md5($NORM) AS fp, min(doc_id) AS keep_id,
+         |  count(*) AS group_size FROM documents GROUP BY 1""".stripMargin,
 
     "q37_bpe_tokens" ->
       """SELECT doc_id, len(regexp_extract_all(text,

@@ -48,6 +48,14 @@ object HtmlDom {
       }
     }
 
+    // pathological nesting cap: beyond this depth new elements are
+    // treated as self-closing. Keeps tree depth (and the classifier's
+    // recursion) bounded, so a poison page can never stack-overflow a
+    // task — extraction must be total (contrast with the reference's
+    // fail-the-job-on-poison S3 semantics, which we keep for I/O, not
+    // for parse structure).
+    val MaxDepth = 256
+
     def openElement(tag: String, attrs: Map[String, String],
         selfClosed: Boolean): Unit = {
       // implied </p>, </li> before a new block-level open
@@ -63,7 +71,8 @@ object HtmlDom {
       }
       val el = Element(tag, attrs, ArrayBuffer.empty)
       stack.last.children += el
-      if (!selfClosed && !Void.contains(tag)) stack += el
+      if (!selfClosed && !Void.contains(tag) && stack.length < MaxDepth)
+        stack += el
     }
 
     def closeElement(tag: String): Unit = {

@@ -19,6 +19,19 @@ object Dedup {
     df.groupBy(TextFunctions.normText(col(textCol)).as("norm_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
+  /** Scale path for exact dedup: group by the 128-bit md5 fingerprint
+    * of the canonical text instead of the text itself — the shuffle
+    * carries 32 bytes per row, not the payload. At 100 TB that is the
+    * difference between shuffling the corpus and shuffling 3 GB of
+    * keys. (Content-hash grouping; md5 collisions are not a practical
+    * concern for non-adversarial dedup — swap for SHA-256 if they are.)
+    */
+  def exactGroupsByFingerprint(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol), md5(TextFunctions.normText(col(textCol))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
   /** Ids to drop under exact dedup (everything but the keeper). */
   def exactDropIds(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(TextFunctions.normText(col(textCol)))

@@ -164,3 +164,11 @@ class GeneratorGoldenSpec extends AnyFunSuite {
     }
   }
 }
+
+class DepthCapSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("pathologically nested html cannot stack-overflow extraction") {
+    val deep = "<div>" * 100000 + "some words appear here inside the deepest block level" + "</div>" * 100000
+    val r = Extractor.extract("<html><body>" + deep + "</body></html>")
+    assert(r.kind == "html") // total, no throw
+  }
+}
