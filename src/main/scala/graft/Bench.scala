@@ -57,7 +57,13 @@ object Bench {
     val eligible = graft.pipeline.Selection
       .ingest(turns, TranscriptGen.WatermarkTs, spark)
     val t0 = System.nanoTime()
-    val n = graft.pipeline.ExtractionPipeline.extract(spark, eligible).count()
+    // aggregate over extracted_text so Catalyst cannot prune the
+    // extraction away (a bare count() would measure a scan-only plan)
+    val r = graft.pipeline.ExtractionPipeline.extractExpr(spark, eligible)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("extracted_text")))).head()
+    val n = r.getLong(0)
     ((n.toDouble), (System.nanoTime() - t0) / 1e9)
   }
 }

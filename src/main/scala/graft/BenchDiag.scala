@@ -43,6 +43,12 @@ object BenchDiag {
         graft.fixtures.TranscriptGen.WatermarkTs, spark)
       graft.pipeline.ExtractionPipeline.extract(spark, el).count()
     }
+    time("full_extract_expr") {
+      val el = graft.pipeline.Selection.ingest(turns,
+        graft.fixtures.TranscriptGen.WatermarkTs, spark)
+      graft.pipeline.ExtractionPipeline.extractExpr(spark, el)
+        .agg(sum(length(col("extracted_text")))).head().getLong(0)
+    }
     spark.stop()
   }
 }

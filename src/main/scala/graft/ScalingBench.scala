@@ -48,7 +48,13 @@ object ScalingBench {
         val eligible = graft.pipeline.Selection.ingest(
           turns, graft.fixtures.TranscriptGen.WatermarkTs, spark)
         val t0 = System.nanoTime()
-        val n = graft.pipeline.ExtractionPipeline.extract(spark, eligible).count()
+        // sum(length(extracted_text)) forces the extraction — count()
+        // alone lets Catalyst prune the extractall projection
+        val r = graft.pipeline.ExtractionPipeline.extractExpr(spark, eligible)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("extracted_text")))).head()
+    val n = r.getLong(0)
         (n.toDouble, (System.nanoTime() - t0) / 1e9)
       }
       once(); once() // warmup to C2 steady state
@@ -176,7 +182,7 @@ object ScalingBench {
       val eligible = graft.pipeline.Selection.ingest(
         turns, graft.fixtures.TranscriptGen.WatermarkTs, spark)
       val t0 = System.nanoTime()
-      val n = graft.pipeline.ExtractionPipeline.extract(spark, eligible).count()
+      val n = graft.pipeline.ExtractionPipeline.extractExpr(spark, eligible).count()
       (n.toDouble, (System.nanoTime() - t0) / 1e9)
     } finally spark.stop()
   }

@@ -250,7 +250,7 @@ object SparkEntry {
       val turns = graft.fixtures.TranscriptGen.dataset(s, cfg).toDF()
       val eligible = graft.pipeline.Selection.ingest(
         turns, graft.fixtures.TranscriptGen.WatermarkTs, s)
-      graft.pipeline.ExtractionPipeline.extract(s, eligible)
+      graft.pipeline.ExtractionPipeline.extractExpr(s, eligible)
         .toDF()
         .select(col("conv_id"), col("turn_idx"), col("payload_kind"),
           col("extracted_text"), col("n_spans"))
@@ -262,7 +262,7 @@ object SparkEntry {
       val turns = graft.fixtures.TranscriptGen.dataset(s, cfg).toDF()
       val eligible = graft.pipeline.Selection.ingest(
         turns, graft.fixtures.TranscriptGen.WatermarkTs, s)
-      graft.pipeline.ExtractionPipeline.extract(s, eligible)
+      graft.pipeline.ExtractionPipeline.extractExpr(s, eligible)
         .toDF()
         .groupBy(col("payload_kind"))
         .agg(count(lit(1)).as("n"),

@@ -99,6 +99,28 @@ case class ExtractMainContent(child: Expression) extends UnaryExpression
     copy(c)
 }
 
+/** Whole-extraction expression: one call per row returning
+  * struct(payload_kind, extracted_text, n_spans) — the zero-object-churn
+  * path: input UTF8String in, InternalRow out, no case-class
+  * (de)serialization around the extractor.
+  */
+case class ExtractAll(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("payload_kind", StringType, nullable = false),
+    StructField("extracted_text", StringType, nullable = false),
+    StructField("n_spans", IntegerType, nullable = false)))
+  override def nullSafeEval(v: Any): Any = {
+    val r = graft.extract.Extractor.extract(v.asInstanceOf[UTF8String].toString)
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(r.kind), UTF8String.fromString(r.text),
+      r.nSpans)
+  }
+  override protected def withNewChildInternal(c: Expression): ExtractAll =
+    copy(c)
+}
+
 /** Companion that returns the sniffed payload kind. */
 case class SniffPayload(child: Expression) extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -118,6 +140,7 @@ object Expressions {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def extractMainContent(c: Column): Column =
     column(ExtractMainContent(expression(c)))
+  def extractAll(c: Column): Column = column(ExtractAll(expression(c)))
   def sniffPayload(c: Column): Column = column(SniffPayload(expression(c)))
 
   /** SQL registration so the expressions are usable from spark.sql. */

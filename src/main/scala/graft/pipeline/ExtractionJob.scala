@@ -98,7 +98,7 @@ object ExtractionJob {
         val slice = Selection.ingest(sliceRaw, wm0, spark)
         val obs = Observation(s"chunk-$chunkIdx")
         val extracted = ExtractionPipeline.repartitionForWrite(
-          ExtractionPipeline.extract(spark, slice, numPartitions, salt),
+          ExtractionPipeline.extractExpr(spark, slice),
           numPartitions, salt)
           .observe(obs,
             count(lit(1)).as("rows"),

@@ -31,7 +31,7 @@ object StreamingExtraction {
       .option("maxFilesPerTrigger", "16")
       .parquet(inputDir)
     val eligible = Selection.ingest(turns, since, spark)
-    ExtractionPipeline.extract(spark, eligible)
+    ExtractionPipeline.extractExpr(spark, eligible)
       // event-time watermark bounds dedupe state; duplicates within the
       // lateness window collapse on the natural key
       .withWatermark("ts", lateness)

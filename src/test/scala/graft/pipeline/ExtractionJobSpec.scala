@@ -180,3 +180,18 @@ class ExtractionJobSpec extends SparkSpec {
     assert(inSel > 0 && outSel > 0)
   }
 }
+
+/** The expression-based extraction path must be row-for-row identical
+  * to the typed mapPartitions path. */
+class ExtractExprParitySpec extends graft.SparkSpec {
+  test("extractExpr == extract on the same eligible slice") {
+    val cfg = graft.fixtures.TranscriptGen.GenConfig(nConvs = 30)
+    val turns = graft.fixtures.TranscriptGen.dataset(spark, cfg).toDF()
+    val eligible = Selection.ingest(turns,
+      graft.fixtures.TranscriptGen.WatermarkTs, spark)
+    val a = ExtractionPipeline.extract(spark, eligible).toDF()
+    val b = ExtractionPipeline.extractExpr(spark, eligible).toDF()
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
