@@ -27,12 +27,14 @@ object ScalingBench {
       // measured path = parquet scan → selection → extraction → count:
       // the real job shape. Input is materialized once outside the
       // measurement (generation would otherwise dominate allocation).
-      val input = s"/tmp/graft_bench_input_$nConvs"
+      val paraScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARASCALE", "1").toInt
+      val input = s"/tmp/graft_bench_input_${nConvs}_p$paraScale"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(input, "_SUCCESS"))) {
         val prep = Bench.session("16")
         prep.sparkContext.setLogLevel("ERROR")
         try graft.fixtures.TranscriptGen
-          .dataset(prep, graft.fixtures.TranscriptGen.GenConfig(nConvs = nConvs))
+          .dataset(prep, graft.fixtures.TranscriptGen.GenConfig(
+            nConvs = nConvs, paraScale = paraScale))
           .toDF().write.mode("overwrite").parquet(input)
         finally prep.stop()
       }

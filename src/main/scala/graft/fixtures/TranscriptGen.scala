@@ -28,7 +28,11 @@ object TranscriptGen {
       // fraction of rows failing each eligibility predicate
       systemRoleFrac: Double = 0.05,
       internalToolFrac: Double = 0.05,
-      staleFrac: Double = 0.10)
+      staleFrac: Double = 0.10,
+      // payload-size multiplier: 1 = chat-sized (~2 KB); 8+ approaches
+      // real web-page sizes so extraction compute dominates the scan.
+      // Default 1 keeps all committed goldens stable.
+      paraScale: Int = 1)
 
   /** Golden row: what the extractor must produce for an eligible turn. */
   final case class Golden(conv_id: String, turn_idx: Int,
@@ -122,7 +126,7 @@ object TranscriptGen {
 
   /** Plain text payload: 1-4 sentences; golden = identity (trimmed). */
   private def plainPayload(cfg: GenConfig, ci: Long, ti: Long): (String, String, String) = {
-    val nSent = 1 + rndInt(cfg.seed, ci, 10L + ti, 0L, 4)
+    val nSent = (1 + rndInt(cfg.seed, ci, 10L + ti, 0L, 4)) * cfg.paraScale
     val text = (0 until nSent).map { s =>
       val n = 5 + rndInt(cfg.seed, ci, 10L + ti, s * 100L, 12)
       words(cfg.seed, ci, 11L + ti, s * 100L, n).mkString(" ") + "."
@@ -133,7 +137,7 @@ object TranscriptGen {
   /** HTML payload: nav/sidebar/footer boilerplate around golden content
     * paragraphs (+ optional heading). Golden = heading + paragraphs. */
   private def htmlPayload(cfg: GenConfig, ci: Long, ti: Long): (String, String, String) = {
-    val nPara = 1 + rndInt(cfg.seed, ci, 20L + ti, 0L, 4)
+    val nPara = (1 + rndInt(cfg.seed, ci, 20L + ti, 0L, 4)) * cfg.paraScale
     val withHeading = rndDouble(cfg.seed, ci, 21L + ti, 0L) < 0.5
     val heading =
       if (withHeading) Some(words(cfg.seed, ci, 22L + ti, 0L,
@@ -174,7 +178,7 @@ object TranscriptGen {
   /** PDF payload: uncompressed content stream, one absolutely-positioned
     * line per Tm/Tj pair, top-to-bottom. Golden = lines joined '\n'. */
   private def pdfPayload(cfg: GenConfig, ci: Long, ti: Long): (String, String, String) = {
-    val nLines = 2 + rndInt(cfg.seed, ci, 30L + ti, 0L, 8)
+    val nLines = (2 + rndInt(cfg.seed, ci, 30L + ti, 0L, 8)) * cfg.paraScale
     val lines = (0 until nLines).map { l =>
       val n = 4 + rndInt(cfg.seed, ci, 31L + ti, l * 100L, 8)
       words(cfg.seed, ci, 32L + ti, l * 100L, n).mkString(" ")

@@ -6,13 +6,13 @@
 # vs 2s at 8g, level 16). Usage: tools/scaling.sh [nConvs] [reps]
 set -e
 cd /root/repo
-CONVS=${1:-150000}
+CONVS=${1:-30000}
 REPS=${2:-4}
 OUT=/tmp/scaling_results.jsonl
 : > $OUT
 for LVL in 4 8 16 32; do
   echo "[scaling] level $LVL..." >&2
-  GRAFT_XMX=8g SPARK_GRAFT_BENCH_LEVEL=$LVL SPARK_GRAFT_BENCH_CONVS=$CONVS \
+  GRAFT_XMX=8g SPARK_GRAFT_BENCH_LEVEL=$LVL SPARK_GRAFT_BENCH_CONVS=$CONVS SPARK_GRAFT_BENCH_PARASCALE=${PARASCALE:-16} \
     SPARK_GRAFT_BENCH_REPS=$REPS MAIN=graft.ScalingBench \
     tools/run_verify.sh x y 2>/dev/null | grep -E '^\{' >> $OUT
 done

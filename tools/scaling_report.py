@@ -71,7 +71,9 @@ md = f"""# BENCH — scaling evidence (N → 4N parallelism)
 
 No real cluster exists in this sandbox (BASELINE.md): the same extraction
 job runs at local[4/8/16/32] over identical deterministic input
-({convs} conversations → {rows:.0f} extracted turns),
+({convs} conversations → {rows:.0f} extracted turns, payloads scaled to
+realistic web-page sizes ~30 KB so extraction compute — not single-box
+page-cache scan bandwidth — dominates, as it would on a cluster),
 `spark.sql.shuffle.partitions` = cores, AQE on, best of {reps} reps after
 two full-size warmups, one fresh JVM per level, one SparkSession per JVM
 (fresh sessions reset JIT profiles through new classloaders), 8g heap
