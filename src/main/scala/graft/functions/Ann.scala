@@ -25,16 +25,33 @@ object Ann {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** L2-normalized copy (zero vector stays zero). */
-  def normalized(vecCol: Column): Column = {
-    val v = asDouble(vecCol)
-    val n = norm(v)
-    when(n > 0, transform(v, x => x / n)).otherwise(v)
-  }
+  /** Stage an L2-normalized copy of `vecCol` as its own column (zero
+    * vector stays zero).
+    *
+    * The cast vector and its norm are materialized in SEPARATE Projects
+    * before the element-wise divide. Building the whole
+    * `transform(v, _ / sqrt(aggregate(...)))` tree as one Column makes
+    * Catalyst substitute the O(d) norm subtree into every element's
+    * division lambda — O(d²) interpreted higher-order-function evals per
+    * row (61.7 s for 2,000×64-dim vectors in round 1). Staged as
+    * resolved attributes, each stage is O(d) and CollapseProject leaves
+    * the split alone because the aliases are referenced more than once
+    * (the same staging discipline as TextFunctions.minhashSigFromTokens).
+    */
+  def withNormalized(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn("_graft_v", asDouble(col(vecCol)))
+      .withColumn("_graft_nrm", norm(col("_graft_v")))
+      .withColumn(out,
+        when(col("_graft_nrm") > 0,
+          transform(col("_graft_v"), x => x / col("_graft_nrm")))
+          .otherwise(col("_graft_v")))
+      .drop("_graft_v", "_graft_nrm")
 
   /** Exact brute-force cosine top-k against a literal query vector.
     * One narrow scan + TakeOrderedAndProject — no shuffle of the data,
-    * only of k rows per partition.
+    * only of k rows per partition. Normalization is element-wise BEFORE
+    * the dot (not dot-then-divide) so the IEEE rounding matches the
+    * oracle's `list_transform(e, x -> x/nrm)` exactly.
     */
   def cosineTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int): DataFrame = {
@@ -43,8 +60,8 @@ object Ann {
       if (m > 0) query.map(_ / m) else query
     }
     val qLit = array(qn.map(lit): _*)
-    df.select(col(idCol),
-        round4(dot(normalized(col(vecCol)), qLit)).as("cos"))
+    withNormalized(df.select(col(idCol), col(vecCol)), vecCol, "_graft_vn")
+      .select(col(idCol), round4(dot(col("_graft_vn"), qLit)).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -80,13 +97,20 @@ object Ann {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Cell id = argmin L2 distance to the centroid list. */
-  def ivfCell(vecCol: Column, centroids: Array[Array[Double]]): Column = {
-    val v = asDouble(vecCol)
-    val dists = array(centroids.map(c => l2sq(v, array(c.map(lit): _*))): _*)
-    // array_position is 1-based → cells are 1..nCentroids
-    array_position(dists, array_min(dists)).cast("int")
-  }
+  /** Stage cell id = argmin L2 distance to the centroid list. The cast
+    * vector and the 16-distance array are their own Projects so the
+    * argmin (`array_position(dists, array_min(dists))`) references the
+    * dists ATTRIBUTE twice instead of duplicating 16 l2sq subtrees. */
+  def withIvfCell(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], out: String): DataFrame =
+    df.withColumn("_graft_v", asDouble(col(vecCol)))
+      .withColumn("_graft_dists", array(centroids.map(c =>
+        l2sq(col("_graft_v"), array(c.map(lit): _*))): _*))
+      // array_position is 1-based → cells are 1..nCentroids
+      .withColumn(out,
+        array_position(col("_graft_dists"), array_min(col("_graft_dists")))
+          .cast("int"))
+      .drop("_graft_v", "_graft_dists")
 
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, nCentroids: Int = 16,
@@ -97,19 +121,24 @@ object Ann {
     val probes = cents.zipWithIndex
       .sortBy { case (c, _) => dist(c) }
       .take(nProbe).map(_._2 + 1) // 1-based cells
-    val cells = df.withColumn("ivf_cell", ivfCell(col(vecCol), cents))
+    val cells = withIvfCell(df, vecCol, cents, "ivf_cell")
     cosineTopK(cells.filter(col("ivf_cell").isin(probes.toSeq: _*)),
       vecCol, idCol, query, k)
   }
 
-  /** Sign-LSH bucket id (0 .. 2^nPlanes-1) of a vector column. */
-  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
-    val v = asDouble(vecCol)
-    planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(lit): _*)
-      when(dot(v, pl) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** Stage the sign-LSH bucket id (0 .. 2^nPlanes-1) of a vector column:
+    * the cast vector is one Project, the nPlanes dot-sign sum another —
+    * each plane's dot reads the `_graft_v` attribute instead of
+    * re-casting the vector nPlanes times. */
+  def withLshBucket(df: DataFrame, vecCol: String,
+      planes: Array[Array[Double]], out: String): DataFrame =
+    df.withColumn("_graft_v", asDouble(col(vecCol)))
+      .withColumn(out,
+        planes.zipWithIndex.map { case (p, i) =>
+          val pl = array(p.map(lit): _*)
+          when(dot(col("_graft_v"), pl) >= 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _))
+      .drop("_graft_v")
 
   /** Approximate top-k: restrict the exact scan to the query's LSH
     * bucket (plus optional Hamming-1 neighbor buckets for recall).
@@ -129,7 +158,7 @@ object Ann {
     val probes: Seq[Long] =
       if (!probeNeighbors) Seq(qBucket)
       else qBucket +: (0 until nPlanes).map(i => qBucket ^ (1L << i))
-    val bucketed = df.withColumn("lsh_bucket", lshBucket(col(vecCol), planes))
+    val bucketed = withLshBucket(df, vecCol, planes, "lsh_bucket")
     cosineTopK(
       bucketed.filter(col("lsh_bucket").isin(probes: _*)),
       vecCol, idCol, query, k)

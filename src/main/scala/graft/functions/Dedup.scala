@@ -11,15 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup on canonical text: one surviving row per distinct
-    * normalized text (min id wins — deterministic), with the group
-    * size. Hash-aggregate, one shuffle on the norm key.
-    */
-  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(TextFunctions.normText(col(textCol)).as("norm_key"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
-
-  /** Scale path for exact dedup: group by the 128-bit md5 fingerprint
+  /** THE DEFAULT exact-dedup path: group by the 128-bit md5 fingerprint
     * of the canonical text instead of the text itself — the shuffle
     * carries 32 bytes per row, not the payload. At 100 TB that is the
     * difference between shuffling the corpus and shuffling 3 GB of
@@ -32,11 +24,24 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
-  /** Ids to drop under exact dedup (everything but the keeper). */
+  /** Exact dedup keyed by the canonical text ITSELF (min id wins —
+    * deterministic), with the group size. Returns the readable norm_key,
+    * which means the full normalized payload rides the shuffle — use
+    * [[exactGroupsByFingerprint]] (the default) unless the key text is
+    * needed in the output; this variant exists as the correctness
+    * cross-check for the fingerprint path (q25 vs q39).
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextFunctions.normText(col(textCol)).as("norm_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Ids to drop under exact dedup (everything but the keeper).
+    * Fingerprint-keyed: the window shuffles 32-byte md5 keys, never the
+    * payload. */
   def exactDropIds(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(TextFunctions.normText(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("rn", row_number().over(w))
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    df.select(col(idCol), md5(TextFunctions.normText(col(textCol))).as("fp"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
       .select(col(idCol).as("drop_id"))
   }
@@ -70,28 +75,56 @@ object Dedup {
     * bucket-bounded at any corpus size. */
   val MaxBucketForPairs = 64
 
+  /** Bucket-local verification (the 100 TB shape): each doc's shingle
+    * set shuffles ONCE per (doc, band) — bands × corpus bytes, a fixed
+    * 4× of the shingle table — instead of once per candidate pair
+    * (pair-join shuffle amplification: round 1 spent 203 s here at
+    * sf0.1). Candidate generation and exact verification happen inside
+    * the ≤maxBucket-member LSH bucket via flatMapGroups; a pair
+    * surviving in several bands yields identical (a, b, jaccard) rows,
+    * deduped at the end (tiny — only survivors).
+    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.7,
       k: Int = 16, rows: Int = 4,
       maxBucket: Int = MaxBucketForPairs): DataFrame = {
-    val withShingles = df.select(col(idCol).as("id"),
-      TextFunctions.shingles(col(textCol), n).as("sh"))
-    val buckets = minhashLshBuckets(df, textCol, idCol, k, rows)
-      .filter(col("n") <= maxBucket)
-    val pairs = buckets
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // staged Projects: tokens → (shingles, signature) → band keys — each
+    // an attribute, so nothing re-tokenizes (TextFunctions staging note)
+    val banded = df
+      .select(col(idCol).cast("long").as("id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        TextFunctions.shinglesFromTokens(col("toks"), n).as("sh"),
+        TextFunctions.minhashSigFromTokens(array_distinct(col("toks")), k)
+          .as("sig"))
+      .select(col("id"), col("sh"),
+        posexplode(TextFunctions.bandKeysFromSig(col("sig"), k, rows))
+          .as(Seq("band", "band_key")))
+      .as[(Long, Seq[String], Int, String)]
+    banded
+      .groupByKey { case (_, _, band, key) => (band, key) }
+      .flatMapGroups { (_: (Int, String), members: Iterator[(Long, Seq[String], Int, String)]) =>
+        // mega-buckets (> maxBucket) are degenerate — drop, as in the
+        // declarative path; cap the materialized group first
+        val docs = members.take(maxBucket + 1).toArray
+        if (docs.length < 2 || docs.length > maxBucket) Iterator.empty
+        else {
+          val sorted = docs.sortBy(_._1)
+          val sets = sorted.map(d => d._2.toSet)
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1 until sorted.length).iterator
+            inter = (sets(i) & sets(j)).size.toDouble
+            uni = (sets(i).size + sets(j).size - inter)
+            jac = math.floor((if (uni > 0) inter / uni else 0.0) * 10000 + 0.5) / 10000
+            if jac >= threshold
+          } yield (sorted(i)._1, sorted(j)._1, jac)
+        }
+      }
+      .toDF("a", "b", "jaccard")
       .distinct()
-    val a = withShingles.toDF("a", "sh_a")
-    val b = withShingles.toDF("b", "sh_b")
-    pairs.join(a, "a").join(b, "b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", Ann.round4(
-        when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0)))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** SimHash near-dup: 64-bit simhash via the native Catalyst
@@ -124,8 +157,11 @@ object Dedup {
     */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(bucketCol).as("bkt"),
-      Ann.normalized(col(vecCol)).as("v"))
+    val v = Ann.withNormalized(
+        df.select(col(idCol).as("id"), col(bucketCol).as("bkt"),
+          col(vecCol).as("_emb")),
+        "_emb", "v")
+      .select(col("id"), col("bkt"), col("v"))
     val l = v.toDF("a", "bkt", "va")
     val r = v.toDF("b", "bkt", "vb")
     l.join(r, "bkt")

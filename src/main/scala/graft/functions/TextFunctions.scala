@@ -22,9 +22,10 @@ object TextFunctions {
   def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** Distinct word n-gram shingles (the unit for Jaccard / MinHash). */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  /** Distinct word n-gram shingles from a PRE-MATERIALIZED token column
+    * (stage `tokens` as its own Project first — see the staging note on
+    * [[minhashSigFromTokens]]). */
+  def shinglesFromTokens(t: Column, n: Int): Column = {
     val count = size(t) - (n - 1)
     val grams = transform(
       sequence(lit(0), greatest(count - 1, lit(0))),
@@ -32,6 +33,10 @@ object TextFunctions {
     array_distinct(
       when(count <= 0, array().cast("array<string>")).otherwise(grams))
   }
+
+  /** Distinct word n-gram shingles of raw text (single-Project
+    * convenience; the token array is inlined into each gram slot). */
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 
   /** Stopword-marker language scores; deterministic argmax with fixed
     * tie-break order (alphabetical by language code). N-gram-style

@@ -99,16 +99,16 @@ class AnnSpec extends SparkSpec {
     assert((ivf.map(_.getLong(0)).toSet intersect exact).nonEmpty)
     // cells partition the corpus: every vector belongs to exactly one
     val cents = Ann.ivfCentroids(embs, "embedding", "vec_id", 16)
-    val celled = embs.withColumn("c", Ann.ivfCell(col("embedding"), cents))
+    val celled = Ann.withIvfCell(embs, "embedding", cents, "c")
     assert(celled.filter(col("c").isNull || col("c") < 1 || col("c") > 16)
       .count() == 0)
   }
 
   test("lsh bucket assignment is deterministic") {
     val planes = Ann.hyperplanes(8, 64)
-    val b1 = embs.withColumn("b", Ann.lshBucket(col("embedding"), planes))
+    val b1 = Ann.withLshBucket(embs, "embedding", planes, "b")
       .agg(sum("b")).head().getLong(0)
-    val b2 = embs.withColumn("b", Ann.lshBucket(col("embedding"), planes))
+    val b2 = Ann.withLshBucket(embs, "embedding", planes, "b")
       .agg(sum("b")).head().getLong(0)
     assert(b1 == b2)
   }
