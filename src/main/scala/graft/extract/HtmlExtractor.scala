@@ -154,19 +154,4 @@ object HtmlExtractor {
     bs.indices.iterator.filter(keep).map(i => (i, bs(i))).toVector
   }
 
-  /** Whitespace tokenization with entity-decoded input already applied
-    * by the parser; pure whitespace splitting, no punctuation stripping
-    * (frozen). */
-  private def tokenize(s: String): ArrayBuffer[String] = {
-    val out = ArrayBuffer.empty[String]
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
-      val w0 = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > w0) out += s.substring(w0, i)
-    }
-    out
-  }
 }

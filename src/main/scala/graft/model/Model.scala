@@ -56,16 +56,22 @@ final case class ExtractedTurn(
     payload_kind: String,
     extracted_text: String,
     n_spans: Int,
+    payload_bytes: Int,
     source: String,
     year: String,
     month: String,
     day: String
 )
 
-/** Per-partition lineage/commit row — the engine's unit of resumability.
-  * Mirrors the reference's per-chunk watermark-commit semantics
-  * (TxaKafkaItemWriter.java:52-79): a partition's watermark only exists
-  * once its output is durably written.
+/** Per-output-partition lineage/commit row, written by ExtractionJob
+  * after each chunk's snapshot commit. Mirrors the reference's per-chunk
+  * watermark-commit semantics (TxaKafkaItemWriter.java:52-79): a
+  * partition's lineage row only exists once its output is durably
+  * committed.
+  *
+  * @param partition_id output date partition encoded yyyymmdd
+  * @param bytes_in     UTF-8 payload bytes read for this partition
+  * @param bytes_out    UTF-8 extracted-text bytes written
   */
 final case class PartitionLineage(
     run_id: String,
@@ -75,5 +81,7 @@ final case class PartitionLineage(
     max_ts: Timestamp,
     bytes_in: Long,
     bytes_out: Long,
-    status: String
+    status: String,
+    chunk: Int,
+    snapshot_id: String
 )

@@ -17,9 +17,16 @@ import graft.table.{CheckpointStore, SnapshotTable}
   * chunk_size=2 → here a chunk is a ts-range slice of the input): a
   * failure in chunk k leaves the watermark at the end of chunk k-1, so
   * a restart re-reads only uncommitted data (the Scenario 3 vs 4
-  * asymmetry, IngestScenario4Test.java:107). Unlike the reference's
-  * at-least-once visible side effects, a failed chunk here exposes
-  * nothing: the snapshot pointer swap is atomic.
+  * asymmetry, IngestScenario4Test.java:107).
+  *
+  * Delivery guarantee — exactly-once COMMITTED, at-least-once VISIBLE:
+  * a chunk that fails mid-write exposes no table rows (the snapshot
+  * pointer swap is atomic), but a crash in the window between the
+  * pointer swap and the watermark advance re-processes the whole chunk
+  * on restart — duplicate rows in the incremental view and duplicate
+  * events, exactly the reference's at-least-once contract
+  * (TxaKafkaItemWriter.java:66-79). Downstream consumers dedupe on the
+  * natural key (conv_id, turn_idx), as the delete path already does.
   */
 object ExtractionJob {
 
@@ -95,7 +102,14 @@ object ExtractionJob {
           case (None, Some(h)) => turns.filter(col("ts") <= lit(h))
           case (None, None) => turns
         }
-        val slice = Selection.ingest(sliceRaw, wm0, spark)
+        // observe the raw fresh rows (pre-eligibility) separately from
+        // the written rows so rows_read is the scanned-input count, not
+        // a copy of rows_written — both metrics fill during the single
+        // commit pass (CollectMetrics nodes, no extra scan)
+        val obsIn = Observation(s"chunk-$chunkIdx-in")
+        val fresh = sliceRaw.filter(col("ts") > lit(wm0))
+          .observe(obsIn, count(lit(1)).as("rows_in"))
+        val slice = Selection.ingest(fresh, wm0, spark)
         val obs = Observation(s"chunk-$chunkIdx")
         val extracted = ExtractionPipeline.repartitionForWrite(
           ExtractionPipeline.extractExpr(spark, slice),
@@ -110,27 +124,46 @@ object ExtractionJob {
             "mode" -> mode, "system" -> system))
         val row = obs.get
         val n = row("rows").asInstanceOf[Long]
-        rowsRead += n
+        // AQE's empty-relation propagation prunes the inner
+        // CollectMetrics node when a chunk has no fresh rows — an absent
+        // metric therefore means 0 rows scanned, not an error
+        rowsRead += obsIn.get.get("rows_in")
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         rowsWritten += n
         if (n > 0) {
-          // lineage rows: per (day-partition) stats of what this chunk
-          // committed — column-pruned scan of the just-written snapshot
-          val lineage = spark.read.parquet(s"$tableRoot/data/$snapshotId")
-            .groupBy(col("year"), col("month"), col("day"))
-            .agg(count(lit(1)).as("rows"),
-              min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
-              sum(col("n_spans")).as("n_spans"))
-            .withColumn("run_id", lit(runId))
-            .withColumn("chunk", lit(chunkIdx))
-            .withColumn("snapshot_id", lit(snapshotId))
-            .withColumn("status", lit("COMMITTED"))
-          lineage.write.mode("append").parquet(s"$tableRoot/lineage")
-          // keyed event publish (X3 analog) — the flush barrier: events
-          // are durable before the watermark can advance
-          eventSink.publish(
-            EventSink.keyedEvents(
-              spark.read.parquet(s"$tableRoot/data/$snapshotId")),
-            topic = s"$system-$mode")
+          // ONE cached read of the just-committed snapshot feeds both
+          // the lineage aggregation and the event publish (round 1
+          // scanned the fresh output twice per chunk)
+          val committedRows = spark.read
+            .parquet(s"$tableRoot/data/$snapshotId")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // per-output-partition lineage (PartitionLineage model):
+            // rows + ts range + bytes in/out per committed day partition
+            import spark.implicits._
+            val lineage = committedRows
+              .groupBy(col("year"), col("month"), col("day"))
+              .agg(count(lit(1)).as("rows"),
+                min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+                sum(col("payload_bytes")).as("bytes_in"),
+                sum(octet_length(col("extracted_text"))).as("bytes_out"))
+              .select(
+                lit(runId).as("run_id"),
+                (col("year").cast("int") * 10000 +
+                  col("month").cast("int") * 100 +
+                  col("day").cast("int")).as("partition_id"),
+                col("rows"), col("min_ts"), col("max_ts"),
+                col("bytes_in"), col("bytes_out"),
+                lit("COMMITTED").as("status"),
+                lit(chunkIdx).as("chunk"),
+                lit(snapshotId).as("snapshot_id"))
+              .as[graft.model.PartitionLineage]
+            lineage.toDF().write.mode("append").parquet(s"$tableRoot/lineage")
+            // keyed event publish (X3 analog) — the flush barrier: events
+            // are durable before the watermark can advance
+            eventSink.publish(EventSink.keyedEvents(committedRows),
+              topic = s"$system-$mode")
+          } finally committedRows.unpersist(blocking = false)
         }
         snapshots += snapshotId
         // watermark := max ts of the committed chunk (A2 running-max,
@@ -215,17 +248,28 @@ object ExtractionJob {
     }
   }
 
+  /** Run-level metrics row (A1/A3). NEVER throws: a metrics/notification
+    * failure must not mask the job's real status — the reference's
+    * notification sender swallows its own failures the same way
+    * (SlackNotification.java:73-105 catches and logs rather than failing
+    * the batch). */
   private def writeMetrics(spark: SparkSession, tableRoot: String,
       runId: String, system: String, mode: String, status: String,
       rowsRead: Long, rowsWritten: Long, chunks: Int, wm: Timestamp,
-      durationSec: Double): Unit = {
-    import spark.implicits._
-    val throughput = if (durationSec > 0) rowsWritten / durationSec else 0.0
-    Seq((runId, system, mode, status, rowsRead, rowsWritten, chunks,
-      wm, durationSec, throughput))
-      .toDF("run_id", "system", "mode", "status", "rows_read",
-        "rows_written", "chunks_committed", "watermark", "duration_sec",
-        "turns_per_sec")
-      .write.mode("append").parquet(s"$tableRoot/metrics")
-  }
+      durationSec: Double): Unit =
+    try {
+      import spark.implicits._
+      val throughput = if (durationSec > 0) rowsWritten / durationSec else 0.0
+      Seq((runId, system, mode, status, rowsRead, rowsWritten, chunks,
+        wm, durationSec, throughput))
+        .toDF("run_id", "system", "mode", "status", "rows_read",
+          "rows_written", "chunks_committed", "watermark", "duration_sec",
+          "turns_per_sec")
+        .write.mode("append").parquet(s"$tableRoot/metrics")
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[graft] metrics write failed for run $runId (job status " +
+            s"$status preserved): ${e.getMessage}")
+    }
 }

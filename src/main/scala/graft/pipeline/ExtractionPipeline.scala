@@ -122,12 +122,29 @@ object ExtractionPipeline {
           payload_kind = r.kind,
           extracted_text = r.text,
           n_spans = r.nSpans,
+          payload_bytes = utf8Length(t.text),
           source = "graft",
           year = f"${cal.get(java.util.Calendar.YEAR)}%04d",
           month = f"${cal.get(java.util.Calendar.MONTH) + 1}%02d",
           day = f"${cal.get(java.util.Calendar.DAY_OF_MONTH)}%02d")
       }
     }
+  }
+
+  /** UTF-8 byte length without the `getBytes` copy (must equal Spark's
+    * `octet_length` so the typed and expression paths stay row-for-row
+    * identical). */
+  private[pipeline] def utf8Length(s: String): Int = {
+    if (s == null) return 0
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1 else if (c < 0x800) 2
+            else if (Character.isHighSurrogate(c)) { i += 1; 4 } else 3)
+      i += 1
+    }
+    n
   }
 
   /** Expression-based extraction: the same output schema as [[extract]]
@@ -142,18 +159,27 @@ object ExtractionPipeline {
     */
   def extractExpr(spark: SparkSession, eligible: DataFrame): Dataset[ExtractedTurn] = {
     import spark.implicits._
+    // UTC-pinned calendar date regardless of spark.sql.session.timeZone:
+    // epoch-seconds → epoch-days → DateType (date_from_unix_date and the
+    // year/month/day extractors are pure calendar arithmetic, no zone) —
+    // date_format(ts, ...) would partition midnight-adjacent turns
+    // differently on a non-UTC session than the typed UTC-Calendar path.
+    val utcDate = date_from_unix_date(
+      floor(col("ts").cast("long") / lit(86400)).cast("int"))
     eligible
       .withColumn("_x", graft.functions.Expressions.extractAll(col("text")))
+      .withColumn("_d", utcDate)
       .select(
         col("conv_id"), col("turn_idx"), col("role"), col("tool"),
         col("ts"),
         col("_x.payload_kind").as("payload_kind"),
         col("_x.extracted_text").as("extracted_text"),
         col("_x.n_spans").as("n_spans"),
+        octet_length(col("text")).as("payload_bytes"),
         lit("graft").as("source"),
-        date_format(col("ts"), "yyyy").as("year"),
-        date_format(col("ts"), "MM").as("month"),
-        date_format(col("ts"), "dd").as("day"))
+        lpad(year(col("_d")).cast("string"), 4, "0").as("year"),
+        lpad(month(col("_d")).cast("string"), 2, "0").as("month"),
+        lpad(dayofmonth(col("_d")).cast("string"), 2, "0").as("day"))
       .as[ExtractedTurn]
   }
 

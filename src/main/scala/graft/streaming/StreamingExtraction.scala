@@ -32,10 +32,14 @@ object StreamingExtraction {
       .parquet(inputDir)
     val eligible = Selection.ingest(turns, since, spark)
     ExtractionPipeline.extractExpr(spark, eligible)
-      // event-time watermark bounds dedupe state; duplicates within the
-      // lateness window collapse on the natural key
+      // duplicates within the lateness window collapse on the natural
+      // key. dropDuplicatesWithinWatermark is the variant whose state
+      // store ACTUALLY evicts on the event-time watermark — plain
+      // dropDuplicates only evicts when the event-time column is part
+      // of the dedup key, so on a continuous stream its state grows
+      // without bound (an OOM at 100 TB).
       .withWatermark("ts", lateness)
-      .dropDuplicates("conv_id", "turn_idx")
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
   }
 
   /** Start the stream writing partitioned parquet with exactly-once

@@ -13,6 +13,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * enforces with per-chunk Kafka flush + watermark commit
   * (TxaKafkaItemWriter.java:66-79).
   *
+  * Commits are CUMULATIVE: each manifest lists its own data directory
+  * plus every ancestor's (the Iceberg manifest-list analog), so
+  * `read()`/`readAt()` always return the full committed table view no
+  * matter how many per-chunk commits a run made, and time travel to any
+  * snapshot sees the table as of that commit. Zero-row commits are
+  * valid (their manifest simply repeats the parent's paths — an empty
+  * data dir is never listed, so no reader ever hits a parquet dir with
+  * no footers). Incremental consumption uses [[readIncremental]], which
+  * unions only the DELTA directories after a snapshot.
+  *
   * Layout:
   * {{{
   * <root>/data/<snapshotId>/…(partitioned parquet)…
@@ -31,8 +41,9 @@ final class SnapshotTable(val root: String) {
     else None
   }
 
-  /** Commit `df` as a new snapshot. Data lands fully before any
-    * metadata becomes visible. Returns the snapshot id.
+  /** Commit `df` as a new snapshot on top of the current one. Data
+    * lands fully before any metadata becomes visible. Returns the
+    * snapshot id.
     *
     * @param partitionByCols Hive-style partition columns (the engine's
     *   year=/month=/day= output layout, analog of
@@ -40,7 +51,8 @@ final class SnapshotTable(val root: String) {
     */
   def commit(df: DataFrame, partitionByCols: Seq[String],
       summary: Map[String, String] = Map.empty): String = {
-    val snapshotId = f"${System.currentTimeMillis()}%013d-${currentSnapshotId.map(_ => nextSeq()).getOrElse(0)}%06d"
+    val parent = currentSnapshotId
+    val snapshotId = f"${System.currentTimeMillis()}%013d-${parent.map(_ => nextSeq()).getOrElse(0)}%06d"
     val dataPath = Paths.get(root, "data", snapshotId).toString
     val writer = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*)
@@ -48,7 +60,11 @@ final class SnapshotTable(val root: String) {
     // data durable — now the manifest, then the atomic pointer swap
     Files.createDirectories(metaDir)
     val files = listParquet(Paths.get(dataPath))
-    val json = snapshotJson(snapshotId, dataPath, files, summary)
+    // cumulative view = ancestors' dirs + own dir (only if non-empty:
+    // an empty parquet dir would fail schema inference on read)
+    val paths = parent.map(dataPaths).getOrElse(Seq.empty) ++
+      (if (files.nonEmpty) Seq(dataPath) else Seq.empty)
+    val json = snapshotJson(snapshotId, dataPath, paths, files, summary)
     Files.write(metaDir.resolve(s"snapshot-$snapshotId.json"),
       json.getBytes(StandardCharsets.UTF_8))
     val tmp = metaDir.resolve("current.tmp")
@@ -58,19 +74,31 @@ final class SnapshotTable(val root: String) {
     snapshotId
   }
 
-  /** Read the currently-committed snapshot. */
+  /** Read the currently-committed table view (all commits up to
+    * `current`). */
   def read(spark: SparkSession): DataFrame = currentSnapshotId match {
     case Some(id) => readAt(spark, id)
     case None =>
       throw new IllegalStateException(s"table $root has no committed snapshot")
   }
 
-  /** Time travel: read the table as of a specific committed snapshot
+  /** Time travel: the full table view as of a committed snapshot
     * (snapshots are immutable — an Iceberg `VERSION AS OF` analog). */
-  def readAt(spark: SparkSession, snapshotId: String): DataFrame =
-    spark.read
-      .option("basePath", Paths.get(root, "data", snapshotId).toString)
-      .parquet(Paths.get(root, "data", snapshotId).toString)
+  def readAt(spark: SparkSession, snapshotId: String): DataFrame = {
+    val paths = dataPaths(snapshotId)
+    if (paths.isEmpty) spark.emptyDataFrame
+    else paths.map(readDir(spark, _)).reduce(_.unionByName(_))
+  }
+
+  /** ONLY the rows this snapshot's commit added (its delta). */
+  def deltaAt(spark: SparkSession, snapshotId: String): DataFrame = {
+    val dir = Paths.get(root, "data", snapshotId)
+    if (listParquet(dir).isEmpty) spark.emptyDataFrame
+    else readDir(spark, dir.toString)
+  }
+
+  private def readDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(dir)
 
   /** All committed snapshot ids in commit order (ids are
     * timestamp-prefixed, so lexicographic order == commit order). */
@@ -84,7 +112,7 @@ final class SnapshotTable(val root: String) {
       .toSeq.sorted
   }
 
-  /** Incremental read: union of snapshots committed strictly AFTER
+  /** Incremental read: union of the DELTAS committed strictly AFTER
     * `sinceSnapshotId` up to `current` — the Iceberg incremental-scan
     * analog that lets a downstream consumer resume from its own
     * checkpointed snapshot id instead of re-reading the table. */
@@ -94,15 +122,33 @@ final class SnapshotTable(val root: String) {
     if (newer.isEmpty)
       spark.emptyDataFrame
     else
-      newer.map(readAt(spark, _)).reduce(_.unionByName(_))
+      newer.map(deltaAt(spark, _)).reduce(_.unionByName(_))
   }
 
   def snapshotSummary(id: String): Map[String, String] = {
-    val p = metaDir.resolve(s"snapshot-$id.json")
-    val raw = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val raw = manifest(id)
     """"summary\.([^"]+)"\s*:\s*"([^"]*)"""".r
       .findAllMatchIn(raw).map(m => m.group(1) -> m.group(2)).toMap
   }
+
+  /** Cumulative non-empty data directories of a committed snapshot. */
+  def dataPaths(id: String): Seq[String] = {
+    val raw = manifest(id)
+    """"data-paths"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(raw) match {
+      case Some(m) =>
+        """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+          .map(g => unescape(g.group(1))).toSeq
+      case None => Seq.empty
+    }
+  }
+
+  private def manifest(id: String): String = {
+    val p = metaDir.resolve(s"snapshot-$id.json")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   private var seq = 0
   private def nextSeq(): Int = { seq += 1; seq }
@@ -115,14 +161,16 @@ final class SnapshotTable(val root: String) {
       .map(_.toString).toSeq.sorted
   }
 
-  private def snapshotJson(id: String, dataPath: String,
+  private def snapshotJson(id: String, dataPath: String, paths: Seq[String],
       files: Seq[String], summary: Map[String, String]): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val fileList = files.map(q).mkString("[", ",", "]")
+    val pathList = paths.map(q).mkString("[", ",", "]")
     val sum = summary.map { case (k, v) => s"${q("summary." + k)}: ${q(v)}" }
     (Seq(
       s"${q("snapshot-id")}: ${q(id)}",
       s"${q("data-path")}: ${q(dataPath)}",
+      s"${q("data-paths")}: $pathList",
       s"${q("file-count")}: ${files.length}",
       s"${q("files")}: $fileList") ++ sum).mkString("{", ",", "}")
   }

@@ -108,6 +108,42 @@ class ExtractionJobSpec extends SparkSpec {
       "resume processes exactly the uncommitted remainder")
   }
 
+  test("multi-chunk run: table view = ALL chunks, lineage has typed rows") {
+    val (root, _) = freshTable()
+    val turns = TranscriptGen.dataset(spark, cfg).toDF()
+    val res = ExtractionJob.run(spark, turns, root, nChunks = 4)
+    assert(res.status == "COMPLETED" && res.chunksCommitted == 4)
+    // cumulative snapshots: read() is the union of every chunk's commit,
+    // not the last delta (the --chunks 8 CLI default must not hide 7/8
+    // of the data)
+    val out = new SnapshotTable(root).read(spark)
+    assert(out.count() == res.rowsWritten)
+    // rows_read counts scanned input (pre-eligibility), not a copy of
+    // rows_written
+    assert(res.rowsRead > res.rowsWritten)
+    // lineage rows decode as the PartitionLineage model with real bytes
+    import spark.implicits._
+    val lineage = spark.read.parquet(s"$root/lineage")
+      .as[graft.model.PartitionLineage].collect()
+    assert(lineage.nonEmpty)
+    assert(lineage.forall(l => l.bytes_in > 0 && l.bytes_out > 0 &&
+      l.bytes_in >= l.bytes_out && l.status == "COMMITTED"))
+    assert(lineage.map(_.rows).sum == res.rowsWritten)
+    assert(lineage.forall(l => l.partition_id >= 20230322 &&
+      l.partition_id <= 20230501))
+  }
+
+  test("metrics write failure never masks the job status (X5 never-throw)") {
+    val (root, _) = freshTable()
+    // make <root>/metrics an unwritable target: a FILE in its place
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "metrics"),
+      "not a dir".getBytes)
+    val turns = TranscriptGen.dataset(spark, GenConfig(nConvs = 5)).toDF()
+    val res = ExtractionJob.run(spark, turns, root)
+    assert(res.status == "COMPLETED", res.error.toString)
+    assert(res.rowsWritten > 0)
+  }
+
   test("resume with no new data completes with zero rows (empty chunks)") {
     val (root, store) = freshTable()
     val turns = TranscriptGen.dataset(spark, GenConfig(nConvs = 10)).toDF()

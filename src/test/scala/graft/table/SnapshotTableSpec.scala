@@ -15,16 +15,39 @@ class SnapshotTableSpec extends SparkSpec {
 
     assert(t.history() == Seq(s1, s2, s3))
     assert(t.currentSnapshotId.contains(s3))
-    // current read = latest snapshot only (snapshots are full commits)
-    assert(t.read(spark).count() == 2)
-    // time travel
+    // commits are cumulative: current read = the whole committed table
+    assert(t.read(spark).orderBy("k").select("k").as[Int].collect()
+      .toSeq == Seq(1, 2, 3, 4, 5))
+    // time travel: the table AS OF each snapshot
     assert(t.readAt(spark, s1).orderBy("k").as[(Int, String)].collect()
       .toSeq == Seq((1, "a"), (2, "b")))
-    // incremental: everything after s1
+    assert(t.readAt(spark, s2).orderBy("k").select("k").as[Int].collect()
+      .toSeq == Seq(1, 2, 3))
+    // delta view: only what one commit added
+    assert(t.deltaAt(spark, s2).select("k").as[Int].collect().toSeq == Seq(3))
+    // incremental: deltas after s1 (no re-read of s1's rows)
     val inc = t.readIncremental(spark, s1)
     assert(inc.orderBy("k").select("k").as[Int].collect().toSeq == Seq(3, 4, 5))
     // nothing after the newest
     assert(t.readIncremental(spark, s3).count() == 0)
+  }
+
+  test("zero-row commit keeps the committed view readable") {
+    val root = tmpDir("snap-")
+    val t = new SnapshotTable(root)
+    val s1 = t.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq.empty)
+    val df = Seq((1, "a")).toDF("k", "v")
+    val s2 = t.commit(df.filter(col("k") > 100), Seq.empty) // empty delta
+    assert(t.currentSnapshotId.contains(s2))
+    // the empty commit neither hides prior data nor breaks inference
+    assert(t.read(spark).count() == 2)
+    assert(t.readAt(spark, s2).count() == 2)
+    assert(t.deltaAt(spark, s2).count() == 0)
+    assert(t.readIncremental(spark, s1).count() == 0)
+    // a table whose FIRST commit is empty reads as empty, not an error
+    val t2 = new SnapshotTable(tmpDir("snap-"))
+    t2.commit(df.filter(col("k") > 100), Seq.empty)
+    assert(t2.read(spark).count() == 0)
   }
 
   test("snapshot summary round-trips") {
