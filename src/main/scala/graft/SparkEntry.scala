@@ -41,10 +41,12 @@ object SparkEntry {
     tbl(s, dir, "events")
       .withColumn("case_type", expr("right(cast(user_id as string), 2)"))
 
-  /** Transcript-scale knob per sf dir (documents/embeddings are fixed
-    * at 500 rows; transcripts scale like events). */
+  /** Transcript-scale knob per sf dir: the correctness configs (sf0.001
+    * and sf0.01) both use FixtureGen.Sf001Config's nConvs=200 so the
+    * frozen golden-extract fixture is the oracle at either sf; the
+    * bench dir scales up. */
   private def nConvsFor(dir: String): Int =
-    if (dir.contains("0.1")) 1000 else if (dir.contains("0.01")) 200 else 50
+    if (dir.contains("0.1")) 1000 else 200
 
   // ---------------------------------------------------------------------
   // Flagship (north star): the full transcript-extraction pipeline —
@@ -221,6 +223,14 @@ object SparkEntry {
           col("event_id").cast("string").as("id"))
     }),
 
+    // Distinct-count rollup — daily active users (partial-agg-friendly
+    // distinct over the shuffle key)
+    "q18_distinct_daily" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("events"))),
+
     // Sessionization — gap-based session assignment (window lag + running
     // sum), the classic event-stream operator over the events table
     "q17_sessionize" -> ((s, dir) => {
@@ -392,6 +402,26 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id, event_type
         |                            ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+
+    "q18_distinct_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS d,
+        |       count(DISTINCT user_id) AS users, count(*) AS events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Flagship extraction vs the frozen generator-golden fixture
+    // (FixtureGen.goldenExtract — goldens composed BY the generator,
+    // never via the extractor): the DuckDB compare proves
+    // extractor == golden on every driver round.
+    "q15_extract_pipeline" ->
+      """SELECT conv_id, turn_idx, payload_kind, extracted_text, n_spans
+        |FROM read_parquet('/root/repo/fixtures/golden_extract_sf001.parquet')""".stripMargin,
+
+    "q16_extract_kind_stats" ->
+      """SELECT payload_kind, count(*) AS n,
+        |  CAST(sum(length(extracted_text)) AS BIGINT) AS chars,
+        |  CAST(sum(n_spans) AS BIGINT) AS spans
+        |FROM read_parquet('/root/repo/fixtures/golden_extract_sf001.parquet')
+        |GROUP BY payload_kind""".stripMargin
   )
 }

@@ -105,8 +105,28 @@ object TrainingQueries {
         size(regexp_extract_all(col("text"),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))).as("n_bpe"))),
 
+    // vocabulary building: global token frequencies with deterministic
+    // top-k tiebreak (map-side partial agg → single small shuffle)
+    "q19_term_freq" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(100)),
+
+    // image resize (2× box downsample) verified through the decoded
+    // header of the resized asset
+    "q40_image_resize" -> ((s, dir) => {
+      val n = if (dir.contains("0.1")) 2000L else 500L
+      val assets = graft.multimodal.Multimodal.dataset(s, n)
+      graft.multimodal.Multimodal.decodeMeta(
+        graft.multimodal.Multimodal.resizeImages(assets)).toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          col("payload_bytes"))
+    }),
+
     // multimodal plumbing (binary columns + typed metadata; fake codec,
-    // real batch shape — no SQL oracle, pinned by MultimodalSpec)
+    // real batch shape; fixture-golden DuckDB oracles — expectations
+    // derived from the synth parameters in FixtureGen, frozen parquet)
     "q34_media_meta" -> ((s, dir) => {
       val n = if (dir.contains("0.1")) 2000L else 500L
       graft.multimodal.Multimodal
@@ -148,6 +168,66 @@ object TrainingQueries {
   private def bandKeyExpr(b: Int): String =
     "md5(" + (0 until R).map(r => s"s[${b * R + r + 1}]")
       .mkString(" || '|' || ") + ")"
+
+  /** FNV-1a 64 over code points of an ASCII column, as DuckDB HUGEINT
+    * arithmetic mod 2^64 (validated byte-exact vs the native Catalyst
+    * expression). */
+  private def fnvSql(col: String): String =
+    s"""list_reduce(
+       |  list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(range(1, len($col)+1), i -> unicode($col[i]))),
+       |  (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT
+       |             * 1099511628211::HUGEINT)
+       |            % 18446744073709551616::HUGEINT)""".stripMargin
+
+  private def toSigned(v: String): String =
+    s"""(CASE WHEN $v >= 9223372036854775808::HUGEINT
+       | THEN ($v - 18446744073709551616::HUGEINT) ELSE $v END)::BIGINT""".stripMargin
+
+  /** Unsigned 64-bit SimHash of every doc (empty docs → 0), as a WITH
+    * prefix ending in a `shu(doc_id, u UBIGINT)` relation. */
+  private def simhashCte: String =
+    s"""WITH n AS (SELECT doc_id, $NORM AS nt FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS t FROM n),
+       |th AS (SELECT doc_id, ${fnvSql("t")}::UBIGINT AS h
+       |       FROM tok WHERE t <> ''),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, range(64) r(b) GROUP BY doc_id, b),
+       |sh_u AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN (1::HUGEINT << b)
+       |        ELSE 0::HUGEINT END)::UBIGINT AS u
+       |  FROM votes GROUP BY doc_id),
+       |shu AS (
+       |  SELECT n.doc_id, coalesce(u, 0::UBIGINT) AS u
+       |  FROM n LEFT JOIN sh_u USING (doc_id))""".stripMargin
+
+  /** Element-wise L2-normalize a DOUBLE[] named `e` (matches the Spark
+    * side's normalize-then-dot IEEE op order). */
+  private val NormE: String =
+    """CASE WHEN sqrt(list_dot_product(e, e)) > 0
+      |  THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+      |  ELSE e END""".stripMargin
+
+  /** Sequential-fold squared L2 distance between two DOUBLE[] exprs —
+    * the same left-to-right accumulate as Ann.l2sq's aggregate. */
+  private def l2sqSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  /** The deterministic sign-LSH bucket of a DOUBLE[] expr, with the
+    * 8×64 hyperplanes from Ann.hyperplanes(8, 64) embedded as literals
+    * (Double.toString round-trips exactly through DuckDB's parser). */
+  private def lshBucketSql(v: String): String = {
+    val planes = Ann.hyperplanes(8, 64)
+    "(" + planes.zipWithIndex.map { case (p, i) =>
+      val lit = "[" + p.map(java.lang.Double.toString).mkString(",") + "]::DOUBLE[]"
+      s"CASE WHEN list_dot_product($v, $lit) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ") + ")"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q20_token_count" ->
@@ -255,6 +335,95 @@ object TrainingQueries {
          |SELECT a, b, floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 AS jaccard
          |FROM j WHERE floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin
     },
+
+    "q19_term_freq" ->
+      s"""SELECT tok, count(*) AS cnt FROM (
+         |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents WHERE len(trim(text)) > 0)
+         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".stripMargin,
+
+    "q29_simhash" ->
+      s"""$simhashCte,
+         |f AS (SELECT doc_id, ${fnvSql("nt")} AS h FROM n)
+         |SELECT shu.doc_id, ${toSigned("shu.u::HUGEINT")} AS sh,
+         |       ${toSigned("f.h")} AS fnv
+         |FROM shu JOIN f USING (doc_id)""".stripMargin,
+
+    "q30_simhash_pairs" ->
+      s"""$simhashCte,
+         |bands AS (
+         |  SELECT doc_id, b, (u >> (b*16)) & 65535 AS key
+         |  FROM shu, range(4) r(b)),
+         |p AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.b = r.b AND l.key = r.key
+         |  WHERE l.doc_id < r.doc_id)
+         |SELECT p.a, p.b, CAST(bit_count(xor(la.u, lb.u)) AS INT) AS hamming
+         |FROM p JOIN shu la ON la.doc_id = p.a
+         |       JOIN shu lb ON lb.doc_id = p.b
+         |WHERE bit_count(xor(la.u, lb.u)) <= 16""".stripMargin,
+
+    "q33_lsh_ann" ->
+      s"""WITH q0 AS (
+         |  SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+         |qb AS (SELECT ${lshBucketSql("e")} AS qbucket FROM q0),
+         |probes AS (
+         |  SELECT qbucket AS p FROM qb
+         |  UNION ALL
+         |  SELECT xor(qbucket::BIGINT, (1::BIGINT << i))::BIGINT
+         |  FROM qb, range(8) r(i)),
+         |b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |        ${lshBucketSql("embedding::DOUBLE[]")} AS bkt
+         |      FROM embeddings),
+         |cand AS (SELECT vec_id, e FROM b WHERE bkt IN (SELECT p FROM probes)),
+         |qn AS (SELECT $NormE AS q FROM q0),
+         |nn AS (SELECT vec_id, $NormE AS v FROM cand)
+         |SELECT vec_id, floor(list_dot_product(v, q) * 10000 + 0.5) / 10000 AS cos
+         |FROM nn, qn ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q38_ivf_ann" ->
+      s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+         |         embedding::DOUBLE[] AS c
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |q0 AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT cidx FROM cents, q0
+         |  ORDER BY ${l2sqSql("c", "e")}, cidx LIMIT 4),
+         |dists AS (
+         |  SELECT v.vec_id, c.cidx, ${l2sqSql("v.e", "c.c")} AS dist
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v,
+         |       cents c),
+         |cells AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |cand AS (
+         |  SELECT e2.vec_id, e2.embedding::DOUBLE[] AS e
+         |  FROM embeddings e2 JOIN cells ON cells.vec_id = e2.vec_id
+         |  WHERE cells.cell IN (SELECT cidx FROM probes)),
+         |qn AS (SELECT $NormE AS q FROM q0),
+         |nn AS (SELECT vec_id, $NormE AS v FROM cand)
+         |SELECT vec_id, floor(list_dot_product(v, q) * 10000 + 0.5) / 10000 AS cos
+         |FROM nn, qn ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q34_media_meta" ->
+      """SELECT asset_id, kind, width, height, sample_rate, n_frames,
+        |       payload_bytes, valid
+        |FROM read_parquet('/root/repo/fixtures/media_meta_500.parquet')""".stripMargin,
+
+    "q35_media_features" ->
+      """SELECT asset_id, kind, feat_norm2
+        |FROM read_parquet('/root/repo/fixtures/media_features_500.parquet')""".stripMargin,
+
+    "q36_frame_sample" ->
+      """SELECT asset_id, frame_idx, frame_bytes
+        |FROM read_parquet('/root/repo/fixtures/media_frames_500.parquet')""".stripMargin,
+
+    "q40_image_resize" ->
+      """SELECT asset_id, width, height, payload_bytes
+        |FROM read_parquet('/root/repo/fixtures/media_resize_500.parquet')""".stripMargin,
 
     "q32_embedding_neardups" ->
       """WITH n AS (SELECT vec_id, label,

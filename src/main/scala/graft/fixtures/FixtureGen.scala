@@ -1,0 +1,191 @@
+package graft.fixtures
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Writes the frozen fixture parquets under `<repo>/fixtures/` that give
+  * the non-SQL-expressible queries a hard DuckDB oracle
+  * (`read_parquet('<abs path>')` in SparkEntry.oracleSql):
+  *
+  *  - `golden_extract_sf001.parquet` — the flagship-extraction golden:
+  *    eligible rows + expected (payload_kind, extracted_text, n_spans)
+  *    for the sf0.01 config, computed FROM THE GENERATOR's structural
+  *    knowledge (TranscriptGen composes payloads from the golden
+  *    content), never by running the extractor — so the driver compare
+  *    proves extractor == golden every round, the engine analog of the
+  *    reference's golden-set pinning (IngestQueryTest.java:110-123).
+  *  - `media_{meta,features,frames,resize}_500.parquet` — expected
+  *    outputs of the multimodal operators over the 500-asset synth
+  *    table, derived from FakeCodec.synth's PARAMETERS (kind, dims,
+  *    payload RNG), independent of the header-decode/slice code paths
+  *    under test.
+  *
+  * Regenerate with: MAIN=graft.fixtures.FixtureGen tools/run_verify.sh
+  * (args ignored). Fixture changes must be deliberate — they redefine
+  * the frozen contract, like editing a golden file.
+  */
+object FixtureGen {
+
+  val FixtureDir = "/root/repo/fixtures"
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-fixture-gen")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(FixtureDir))
+    writeSingle(goldenExtract(spark), s"$FixtureDir/golden_extract_sf001.parquet")
+    writeSingle(mediaMeta(spark), s"$FixtureDir/media_meta_500.parquet")
+    writeSingle(mediaFeatures(spark), s"$FixtureDir/media_features_500.parquet")
+    writeSingle(mediaFrames(spark), s"$FixtureDir/media_frames_500.parquet")
+    writeSingle(mediaResize(spark), s"$FixtureDir/media_resize_500.parquet")
+    spark.stop()
+  }
+
+  /** The sf0.01 extraction-fixture config (SparkEntry.nConvsFor). */
+  val Sf001Config: TranscriptGen.GenConfig = TranscriptGen.GenConfig(nConvs = 200)
+
+  /** Replicates Selection.ingest on generated Turn values: watermark,
+    * role/tool predicates, and the (case_type, role) allow-list. Kept in
+    * plain Scala so the fixture is computed WITHOUT the operators under
+    * test. */
+  def eligible(t: graft.model.Turn): Boolean =
+    t.text != null &&
+      t.ts.after(TranscriptGen.WatermarkTs) &&
+      t.role != "system" &&
+      (t.tool == null || t.tool != "internal") &&
+      graft.pipeline.AllowList.pairs.contains((t.conv_id.takeRight(2), t.role))
+
+  /** Expected span count from the golden text's structure: the
+    * generator emits one single-line block per paragraph / PDF line /
+    * plain payload, so spans == newline-separated lines. */
+  def expectedSpans(goldenText: String): Int =
+    if (goldenText.isEmpty) 0 else goldenText.count(_ == '\n') + 1
+
+  def goldenExtract(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cfg = Sf001Config
+    spark.range(0, cfg.nConvs.toLong)
+      .flatMap { i =>
+        TranscriptGen.turnsForConv(cfg, i).collect {
+          case (t, g) if eligible(t) =>
+            (g.conv_id, g.turn_idx, g.payload_kind, g.extracted_text,
+              expectedSpans(g.extracted_text))
+        }
+      }
+      .toDF("conv_id", "turn_idx", "payload_kind", "extracted_text", "n_spans")
+  }
+
+  // --- multimodal expectations from synth parameters ---------------------
+
+  /** SplitMix64 — must match Multimodal.FakeCodec.mix (public-domain
+    * constants; duplicated here so the fixture derivation reads the
+    * asset RECIPE, not the codec under test). */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  final case class SynthParams(id: Long, kind: String, a: Int, b: Int,
+      nPayload: Int)
+
+  /** The asset recipe of FakeCodec.synth(id) (Multimodal.scala). */
+  def synthParams(id: Long): SynthParams = {
+    val kind = (id % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    val (a, b, n) = kind match {
+      case "image" =>
+        val w = 16 + (mix(id) & 0x3f).toInt
+        val h = 16 + (mix(id + 1) & 0x3f).toInt
+        (w, h, w * h)
+      case "audio" =>
+        val sr = 8000 + ((mix(id) & 0x3) * 8000).toInt
+        val nn = 256 + (mix(id + 1) & 0xff).toInt
+        (sr, nn, nn)
+      case _ =>
+        val w = 8 + (mix(id) & 0xf).toInt
+        val frames = 4 + (mix(id + 1) & 0x7).toInt
+        (w, frames, w * w * frames)
+    }
+    SynthParams(id, kind, a, b, n)
+  }
+
+  private val N = 500L
+
+  def mediaMeta(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(0, N).map { id =>
+      val p = synthParams(id)
+      p.kind match {
+        case "image" =>
+          (p.id, p.kind, p.a, p.b, 0, 1, p.nPayload, true)
+        case "audio" =>
+          (p.id, p.kind, 0, 0, p.a, p.b, p.nPayload, true)
+        case _ =>
+          (p.id, p.kind, p.a, p.a, 0, p.b, p.nPayload, true)
+      }
+    }.toDF("asset_id", "kind", "width", "height", "sample_rate",
+      "n_frames", "payload_bytes", "valid")
+  }
+
+  def mediaFeatures(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(0, N).map { id =>
+      val p = synthParams(id)
+      val hist = new Array[Int](32)
+      var i = 0
+      while (i < p.nPayload) {
+        hist(((mix(id * 1000003L + i) & 0xff).toInt) >>> 3) += 1
+        i += 1
+      }
+      val total = math.max(1, p.nPayload).toFloat
+      val f = hist.map(_ / total)
+      // same fold shape as Ann.dot: left-to-right accumulate
+      var dot = 0.0
+      var j = 0
+      while (j < f.length) { dot += f(j).toDouble * f(j).toDouble; j += 1 }
+      (p.id, p.kind, math.floor(dot * 10000 + 0.5) / 10000)
+    }.toDF("asset_id", "kind", "feat_norm2")
+  }
+
+  def mediaFrames(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(0, N).flatMap { id =>
+      val p = synthParams(id)
+      if (p.kind != "video") Iterator.empty
+      else (0 until p.b by 2).iterator.map(f => (p.id, f, p.a * p.a))
+    }.toDF("asset_id", "frame_idx", "frame_bytes")
+  }
+
+  def mediaResize(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(0, N).flatMap { id =>
+      val p = synthParams(id)
+      if (p.kind != "image") Iterator.empty
+      else Iterator((p.id, p.a / 2, p.b / 2, (p.a / 2) * (p.b / 2)))
+    }.toDF("asset_id", "width", "height", "payload_bytes")
+  }
+
+  /** Write a DataFrame as ONE parquet FILE at `dest` (stable name for
+    * the oracle's read_parquet). */
+  def writeSingle(df: DataFrame, dest: String): Unit = {
+    val tmp = dest + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written for $dest"))
+    Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+    // clean the temp dir
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    println(s"[fixtures] wrote $dest")
+  }
+}
