@@ -53,10 +53,68 @@ object PlanAudit {
       SparkEntry.queries("q27_lsh_buckets")(spark, dir)
     }
 
-    show("cosine top-k (q28): TakeOrderedAndProject, no full sort",
+    show("cosine top-k (q28): TakeOrderedAndProject, staged norm",
       "Global top-k must compile to TakeOrderedAndProject (k rows per " +
-      "partition shuffled), never a total Sort.") {
+      "partition shuffled), never a total Sort — AND the L2 norm must be " +
+      "its own Project column (`_graft_nrm`), never inlined into the " +
+      "per-element division lambda (the round-1 O(d²) pathology).") {
       SparkEntry.queries("q28_cosine_topk")(spark, dir)
+    }
+
+    show("jaccard verify (q31): bucket-local, shingles shuffled once per band",
+      "One Exchange keyed by (band, band_key) carrying (id, shingles) — " +
+      "candidate pairs never materialize outside their bucket, so no " +
+      "pair-join shuffle amplification; the final distinct is over the " +
+      "tiny survivor set.") {
+      SparkEntry.queries("q31_jaccard_pairs")(spark, dir)
+    }
+
+    // ---- AQE skew-join evidence (SURVEY §4.2) --------------------------
+    // The turns × conversation-dim join is the shape that skews at
+    // 100 TB: join on conv_id alone, where one conversation can dwarf
+    // the rest. TranscriptGen's 50× heavy tail averages out across
+    // partitions at test scale, so the demo adds one deliberately
+    // pathological hot conversation and lowers the AQE thresholds to the
+    // test data's byte scale — the mechanism (OptimizeSkewedJoin
+    // splitting the hot partition, `skew=true` on the SMJ) is exactly
+    // what fires at production thresholds on production bytes. Note the
+    // SMJ children must be bare shuffle stages for the skew rule to
+    // match — an aggregate between shuffle and join defeats it, which is
+    // itself a useful planning fact: pre-aggregate BEFORE the wide join,
+    // or keep the skewed side un-aggregated.
+    {
+      import graft.fixtures.TranscriptGen
+      import spark.implicits._
+      val conf = spark.conf
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val cfg = TranscriptGen.GenConfig(nConvs = 500)
+      val base = TranscriptGen.dataset(spark, cfg).toDF()
+        .select(col("conv_id"), col("turn_idx"))
+      val hot = spark.range(0, 500000L).select(
+        lit("conv-hot-a1").as("conv_id"), col("id").cast("int").as("turn_idx"))
+      val turns = base.unionByName(hot)
+      val dim = spark.range(0, 500)
+        .map(i => TranscriptGen.convId(cfg, i)).toDF("conv_id")
+        .unionByName(Seq("conv-hot-a1").toDF("conv_id"))
+        .withColumn("case_type", expr("right(conv_id, 2)"))
+      val joined = turns.join(dim, "conv_id")
+      // materialize THIS QueryExecution (count() would build a new one)
+      // so AQE's final re-planned tree is what prints below
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      println("\n## AQE skew-join: turns × conversation-dim join under a hot key\n")
+      println("`isFinalPlan=true` with `SortMergeJoin(skew=true)` and an " +
+        "`AQEShuffleRead coalesced and skewed` on the fat side shows " +
+        "OptimizeSkewedJoin split the hot conversation's partition at " +
+        "runtime:\n\n```")
+      println(plan.take(6000))
+      println("```")
+      println(s"\nskew handled: ${plan.contains("skew=true")}")
     }
     spark.stop()
   }
