@@ -17,6 +17,8 @@ import graft.table.CheckpointStore
   *   [--system cs] [--mode ingest|delete] [--chunks 8] [--salt 8]
   *   [--since "2023-03-22 11:59:59"]   # watermark override (backfill)
   *   [--seed-watermark "..."]          # bootstrap a missing checkpoint
+  *   [--compact true]                  # rewrite the view into one dir
+  *                                     # after a COMPLETED ingest run
   * }}}
   */
 object IngestApp {
@@ -52,6 +54,14 @@ object IngestApp {
         ExtractionJob.runDelete(spark, turns, table, system,
           overrideWatermark = opts.get("since"))
       case other => sys.error(s"unknown --mode $other")
+    }
+
+    if (mode == "ingest" && result.status == "COMPLETED" &&
+        opts.get("compact").contains("true")) {
+      val id = new graft.table.SnapshotTable(table)
+        .compact(spark, Seq("year", "month", "day"),
+          Map("run-after" -> result.snapshotIds.lastOption.getOrElse("")))
+      System.err.println(s"[graft] compacted table to snapshot $id")
     }
 
     println(

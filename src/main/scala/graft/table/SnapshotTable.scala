@@ -125,6 +125,66 @@ final class SnapshotTable(val root: String) {
       newer.map(deltaAt(spark, _)).reduce(_.unionByName(_))
   }
 
+  /** Rewrite the current table view as ONE new data directory and
+    * commit it as a compaction snapshot — the Iceberg rewrite_data_files
+    * analog. Chunked runs append one directory per chunk; at scale that
+    * accretes small files and long manifest path lists, so periodic
+    * compaction keeps reads to a single well-sized dir. Time travel to
+    * pre-compaction snapshots still works (old dirs are immutable and
+    * stay referenced by old manifests until [[expireSnapshots]]).
+    *
+    * @return the compaction snapshot id
+    */
+  def compact(spark: SparkSession, partitionByCols: Seq[String],
+      summary: Map[String, String] = Map.empty): String = {
+    val view = read(spark)
+    commitRewrite(view, partitionByCols, summary + ("compaction" -> "true"))
+  }
+
+  /** Commit `df` as a REWRITE snapshot: its manifest references only its
+    * own data dir (a full-table view), not the ancestor chain. */
+  private def commitRewrite(df: DataFrame, partitionByCols: Seq[String],
+      summary: Map[String, String]): String = {
+    val snapshotId = f"${System.currentTimeMillis()}%013d-${nextSeq()}%06d"
+    val dataPath = Paths.get(root, "data", snapshotId).toString
+    val writer = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*)
+     else writer).parquet(dataPath)
+    Files.createDirectories(metaDir)
+    val files = listParquet(Paths.get(dataPath))
+    val paths = if (files.nonEmpty) Seq(dataPath) else Seq.empty
+    val json = snapshotJson(snapshotId, dataPath, paths, files, summary)
+    Files.write(metaDir.resolve(s"snapshot-$snapshotId.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+    val tmp = metaDir.resolve("current.tmp")
+    Files.write(tmp, snapshotId.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaDir.resolve("current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    snapshotId
+  }
+
+  /** Drop snapshots older than `keepLast` committed ones and delete any
+    * data directory no surviving manifest references (Iceberg
+    * expire_snapshots analog). The current snapshot is always kept.
+    * Returns the expired snapshot ids. */
+  def expireSnapshots(keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val all = history()
+    val (expired, kept) = all.splitAt(math.max(0, all.length - keepLast))
+    if (expired.isEmpty) return Seq.empty
+    val live: Set[String] = kept.flatMap(dataPaths).toSet
+    expired.foreach { id =>
+      val dir = Paths.get(root, "data", id)
+      if (!live.contains(dir.toString) && Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+      Files.deleteIfExists(metaDir.resolve(s"snapshot-$id.json"))
+    }
+    expired
+  }
+
   def snapshotSummary(id: String): Map[String, String] = {
     val raw = manifest(id)
     """"summary\.([^"]+)"\s*:\s*"([^"]*)"""".r

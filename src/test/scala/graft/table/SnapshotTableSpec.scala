@@ -50,6 +50,38 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t2.read(spark).count() == 0)
   }
 
+  test("compaction rewrites the view into one dir; expiry reclaims dirs") {
+    val root = tmpDir("snap-")
+    val t = new SnapshotTable(root)
+    val s1 = t.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq.empty)
+    val s2 = t.commit(Seq((3, "c")).toDF("k", "v"), Seq.empty)
+    val s3 = t.commit(Seq((4, "d")).toDF("k", "v"), Seq.empty)
+    assert(t.dataPaths(s3).size == 3, "pre-compaction: one dir per chunk")
+
+    val c = t.compact(spark, Seq.empty)
+    assert(t.dataPaths(c).size == 1, "compaction: single data dir")
+    assert(t.read(spark).orderBy("k").select("k").as[Int].collect()
+      .toSeq == Seq(1, 2, 3, 4))
+    // time travel to a pre-compaction snapshot still works
+    assert(t.readAt(spark, s2).count() == 3)
+    // further appends chain off the compacted view
+    t.commit(Seq((5, "e")).toDF("k", "v"), Seq.empty)
+    assert(t.read(spark).count() == 5)
+
+    // expire everything but the last two snapshots: the pre-compaction
+    // chunk dirs are no longer referenced by any survivor and vanish
+    val expired = t.expireSnapshots(keepLast = 2)
+    assert(expired == Seq(s1, s2, s3))
+    assert(t.history().size == 2)
+    assert(t.read(spark).count() == 5, "current view unaffected by expiry")
+    // expired, unreferenced dirs were reclaimed from disk
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", s1)))
+    // the compacted dir survives (still referenced by current's chain)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", c)))
+  }
+
   test("snapshot summary round-trips") {
     val root = tmpDir("snap-")
     val t = new SnapshotTable(root)
