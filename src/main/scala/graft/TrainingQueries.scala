@@ -90,6 +90,16 @@ object TrainingQueries {
       Dedup.embeddingNearDups(embs(s, dir), "embedding", "vec_id",
         "label", threshold = 0.2)),
 
+    // self-contained near-dup scale path: bucket by computed sign-LSH
+    // (no pre-existing label column needed), then bucket-local pairs
+    "q41_lsh_neardups" -> ((s, dir) => {
+      val planes = Ann.hyperplanes(8, 64)
+      val bucketed = Ann.withLshBucket(embs(s, dir), "embedding", planes,
+        "lsh_bucket")
+      Dedup.embeddingNearDups(bucketed, "embedding", "vec_id",
+        "lsh_bucket", threshold = 0.2)
+    }),
+
     "q33_lsh_ann" -> ((s, dir) =>
       Ann.lshTopK(embs(s, dir), "embedding", "vec_id",
         queryVec(s, dir), 10)),
@@ -424,6 +434,16 @@ object TrainingQueries {
     "q40_image_resize" ->
       """SELECT asset_id, width, height, payload_bytes
         |FROM read_parquet('/root/repo/fixtures/media_resize_500.parquet')""".stripMargin,
+
+    "q41_lsh_neardups" ->
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |        ${lshBucketSql("embedding::DOUBLE[]")} AS bkt
+         |      FROM embeddings),
+         |n AS (SELECT vec_id, bkt, $NormE AS v FROM b)
+         |SELECT l.vec_id AS a, r.vec_id AS b,
+         |  floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 AS cos
+         |FROM n l JOIN n r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
+         |WHERE floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin,
 
     "q32_embedding_neardups" ->
       """WITH n AS (SELECT vec_id, label,
