@@ -112,6 +112,10 @@ object Ann {
           .cast("int"))
       .drop("_graft_v", "_graft_dists")
 
+  /** @param nCentroids 16 suits the 500-2,000-vector test tables; at
+    *   scale size it ~sqrt(N) (the standard IVF balance point between
+    *   cell-scan cost and probe fan-out) — the oracle pins 16, so the
+    *   default stays fixed here. */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {

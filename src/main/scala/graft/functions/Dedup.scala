@@ -83,6 +83,11 @@ object Dedup {
     * the ≤maxBucket-member LSH bucket via flatMapGroups; a pair
     * surviving in several bands yields identical (a, b, jaccard) rows,
     * deduped at the end (tiny — only survivors).
+    *
+    * Further scale lever (not taken, to keep the DuckDB oracle exact on
+    * string shingles): hash each shingle to a 64-bit long before the
+    * shuffle — 8 bytes per shingle instead of the n-gram text, identical
+    * Jaccard up to hash collisions (~2^-64 per comparison).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.7,
