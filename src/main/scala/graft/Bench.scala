@@ -24,13 +24,14 @@ object Bench {
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup before any timed query: exercise the scan,
-    // join+agg, and window code paths once so the first timed query is
-    // not charged first-action JIT (round 1 booked 8.7 s of JIT to the
-    // trivial q01 projection)
-    Seq("q01_projection_cast", "q07_join_agg", "q10_window_rownum")
-      .foreach(q => try SparkEntry.queries(q)(spark, sfDir).count()
-        catch { case _: Throwable => () })
+    // steady-state protocol: run EVERY query once untimed (JIT, codegen,
+    // and shuffle-path warmup), then time each once — per-query numbers
+    // are comparable round-over-round instead of dominated by
+    // first-action JIT (round 1 booked 8.7 s of JIT to the trivial q01
+    // projection)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -90,6 +90,33 @@ object TrainingQueries {
       Dedup.embeddingNearDups(embs(s, dir), "embedding", "vec_id",
         "label", threshold = 0.2)),
 
+    // Gopher-style repetition signal: duplicate-token fraction per doc
+    // (1 - distinct/total) — the standard repetitious-text filter input
+    "q42_repetition" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          Ann.round4(when(size(col("t")) > 0,
+            lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+              size(col("t")).cast("double")).otherwise(0.0))
+            .as("rep_frac"))),
+
+    // lang-ID evaluation: confusion rollup of predicted vs labeled lang
+    "q43_langid_eval" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
+
+    // corpus profile: per (source, lang) doc counts / chars / tokens —
+    // the standard pre-training corpus-stats rollup
+    "q44_corpus_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"))),
+
     // self-contained near-dup scale path: bucket by computed sign-LSH
     // (no pre-existing label column needed), then bucket-local pairs
     "q41_lsh_neardups" -> ((s, dir) => {
@@ -170,6 +197,18 @@ object TrainingQueries {
   private def langCount(markers: Seq[String]): String =
     s"len(list_filter($TOKL, t -> t IN (${markers.map("'" + _ + "'").mkString(",")})))"
 
+  /** The q21 lang-ID argmax as a DuckDB CASE chain (shared by the
+    * prediction and evaluation oracles). */
+  private def langPredSql: String = {
+    val scores = TextFunctions.LangMarkers
+      .map { case (code, m) => code -> langCount(m) }
+    val best = "greatest(" + scores.map(_._2).mkString(", ") + ")"
+    val caseChain = scores.map { case (code, e) =>
+      s"WHEN $best > 0 AND $e = $best THEN '$code'"
+    }.mkString(" ")
+    s"CASE $caseChain ELSE 'und' END"
+  }
+
   /** 16 minhash component expressions over distinct tokens. */
   private def sigExprs: Seq[String] =
     (0 until K).map(i =>
@@ -244,15 +283,25 @@ object TrainingQueries {
       s"""SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
          |  ELSE len($TOK) END AS n_tok FROM documents""".stripMargin,
 
-    "q21_lang_id" -> {
-      val scores = TextFunctions.LangMarkers
-        .map { case (code, m) => code -> langCount(m) }
-      val best = "greatest(" + scores.map(_._2).mkString(", ") + ")"
-      val caseChain = scores.map { case (code, e) =>
-        s"WHEN $best > 0 AND $e = $best THEN '$code'"
-      }.mkString(" ")
-      s"SELECT doc_id, CASE $caseChain ELSE 'und' END AS lang_pred FROM documents"
-    },
+    "q21_lang_id" ->
+      s"SELECT doc_id, $langPredSql AS lang_pred FROM documents",
+
+    "q42_repetition" ->
+      s"""SELECT doc_id, floor((CASE WHEN len(trim(text)) = 0 THEN 0.0
+         |  ELSE 1.0 - len(list_distinct($TOK))::DOUBLE / len($TOK)::DOUBLE
+         |  END) * 10000 + 0.5) / 10000 AS rep_frac
+         |FROM documents""".stripMargin,
+
+    "q43_langid_eval" ->
+      s"""SELECT lang, $langPredSql AS lang_pred, count(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q44_corpus_stats" ->
+      s"""SELECT source, lang, count(*) AS docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars,
+         |  CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($TOK) END)
+         |       AS BIGINT) AS tokens
+         |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "q22_quality_score" -> {
       val nTok = s"(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($TOK) END)::DOUBLE"
