@@ -93,7 +93,10 @@ object TextFunctions {
 
   /** MinHash signature from a PRE-MATERIALIZED distinct-token column.
     * String-min of fixed-width hex == numeric min of the 128-bit hash,
-    * so signatures are engine-portable.
+    * so signatures are engine-portable. md5 is the portability choice
+    * (the DuckDB oracle computes the identical signature); a
+    * throughput-first deployment swaps it for the codegen'd `xxhash64`
+    * — same operator shape, ~5-10× cheaper per token, no oracle.
     *
     * Stage the pipeline as tokens → sig → bands through separate
     * Projects (each a resolved attribute): inlining `sig` into the 16
