@@ -104,6 +104,18 @@ class AnnSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("cosine top-k keeps the norm staged (no O(d²) lambda inlining)") {
+    val q = embs.filter(col("vec_id") === 0)
+      .head().getSeq[Float](embs.columns.indexOf("embedding")).map(_.toDouble)
+    val plan = Ann.cosineTopK(embs, "embedding", "vec_id", q, 5)
+      .queryExecution.optimizedPlan.toString
+    // the staged alias must SURVIVE optimization: if CollapseProject ever
+    // re-inlines the norm into the per-element division lambda, this
+    // attribute disappears and the scan cost goes O(d) → O(d²) per row
+    // (the round-1 61.7 s pathology)
+    assert(plan.contains("_graft_nrm"), plan.take(2000))
+  }
+
   test("lsh bucket assignment is deterministic") {
     val planes = Ann.hyperplanes(8, 64)
     val b1 = Ann.withLshBucket(embs, "embedding", planes, "b")

@@ -220,6 +220,20 @@ class ExtractionJobSpec extends SparkSpec {
 /** The expression-based extraction path must be row-for-row identical
   * to the typed mapPartitions path. */
 class ExtractExprParitySpec extends graft.SparkSpec {
+
+  test("extraction plan never shuffles the raw payload (scale invariant)") {
+    val cfg = graft.fixtures.TranscriptGen.GenConfig(nConvs = 10)
+    val turns = graft.fixtures.TranscriptGen.dataset(spark, cfg).toDF()
+    val eligible = Selection.ingest(turns,
+      graft.fixtures.TranscriptGen.WatermarkTs, spark)
+    // source → selection → extraction must be one map-side pipeline: the
+    // only exchange allowed anywhere is the broadcast of the allow-list
+    val plan = ExtractionPipeline.extractExpr(spark, eligible)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
   test("extractExpr == extract on the same eligible slice") {
     val cfg = graft.fixtures.TranscriptGen.GenConfig(nConvs = 30)
     val turns = graft.fixtures.TranscriptGen.dataset(spark, cfg).toDF()
