@@ -58,10 +58,21 @@ object IngestApp {
 
     if (mode == "ingest" && result.status == "COMPLETED" &&
         opts.get("compact").contains("true")) {
-      val id = new graft.table.SnapshotTable(table)
-        .compact(spark, Seq("year", "month", "day"),
-          Map("run-after" -> result.snapshotIds.lastOption.getOrElse("")))
-      System.err.println(s"[graft] compacted table to snapshot $id")
+      // compaction is maintenance: skip on an empty view, and never let
+      // its failure mask the run's real status
+      try {
+        val tbl = new graft.table.SnapshotTable(table)
+        val hasData = tbl.currentSnapshotId.exists(tbl.dataPaths(_).nonEmpty)
+        if (hasData) {
+          val id = tbl.compact(spark, Seq("year", "month", "day"),
+            Map("run-after" -> result.snapshotIds.lastOption.getOrElse("")))
+          System.err.println(s"[graft] compacted table to snapshot $id")
+        } else System.err.println("[graft] compact skipped: table view empty")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] compact failed (run status " +
+            s"unaffected): ${e.getMessage}")
+      }
     }
 
     println(

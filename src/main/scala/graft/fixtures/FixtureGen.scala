@@ -179,13 +179,18 @@ object FixtureGen {
     val tmp = dest + ".tmpdir"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     import scala.jdk.CollectionConverters._
-    val part = Files.list(Paths.get(tmp)).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(sys.error(s"no parquet part written for $dest"))
+    val ls = Files.list(Paths.get(tmp))
+    val part =
+      try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for $dest"))
+      finally ls.close()
     Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
     // clean the temp dir
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+    val w = Files.walk(Paths.get(tmp))
+    try w.sorted(java.util.Comparator.reverseOrder())
       .iterator().asScala.foreach(Files.delete)
+    finally w.close()
     println(s"[fixtures] wrote $dest")
   }
 }

@@ -38,7 +38,16 @@ object Ann {
     * the split alone because the aliases are referenced more than once
     * (the same staging discipline as TextFunctions.minhashSigFromTokens).
     */
-  def withNormalized(df: DataFrame, vecCol: String, out: String): DataFrame =
+  /** Staging columns are prefixed `_graft_`; fail fast rather than
+    * silently clobbering a caller column of the same name. */
+  private def requireNoStagingCols(df: DataFrame): Unit = {
+    val clash = df.columns.filter(_.startsWith("_graft_"))
+    require(clash.isEmpty,
+      s"input already has reserved staging column(s): ${clash.mkString(", ")}")
+  }
+
+  def withNormalized(df: DataFrame, vecCol: String, out: String): DataFrame = {
+    requireNoStagingCols(df)
     df.withColumn("_graft_v", asDouble(col(vecCol)))
       .withColumn("_graft_nrm", norm(col("_graft_v")))
       .withColumn(out,
@@ -46,6 +55,7 @@ object Ann {
           transform(col("_graft_v"), x => x / col("_graft_nrm")))
           .otherwise(col("_graft_v")))
       .drop("_graft_v", "_graft_nrm")
+  }
 
   /** Exact brute-force cosine top-k against a literal query vector.
     * One narrow scan + TakeOrderedAndProject — no shuffle of the data,
@@ -102,7 +112,8 @@ object Ann {
     * argmin (`array_position(dists, array_min(dists))`) references the
     * dists ATTRIBUTE twice instead of duplicating 16 l2sq subtrees. */
   def withIvfCell(df: DataFrame, vecCol: String,
-      centroids: Array[Array[Double]], out: String): DataFrame =
+      centroids: Array[Array[Double]], out: String): DataFrame = {
+    requireNoStagingCols(df)
     df.withColumn("_graft_v", asDouble(col(vecCol)))
       .withColumn("_graft_dists", array(centroids.map(c =>
         l2sq(col("_graft_v"), array(c.map(lit): _*))): _*))
@@ -111,6 +122,7 @@ object Ann {
         array_position(col("_graft_dists"), array_min(col("_graft_dists")))
           .cast("int"))
       .drop("_graft_v", "_graft_dists")
+  }
 
   /** @param nCentroids 16 suits the 500-2,000-vector test tables; at
     *   scale size it ~sqrt(N) (the standard IVF balance point between
@@ -135,7 +147,8 @@ object Ann {
     * each plane's dot reads the `_graft_v` attribute instead of
     * re-casting the vector nPlanes times. */
   def withLshBucket(df: DataFrame, vecCol: String,
-      planes: Array[Array[Double]], out: String): DataFrame =
+      planes: Array[Array[Double]], out: String): DataFrame = {
+    requireNoStagingCols(df)
     df.withColumn("_graft_v", asDouble(col(vecCol)))
       .withColumn(out,
         planes.zipWithIndex.map { case (p, i) =>
@@ -143,6 +156,7 @@ object Ann {
           when(dot(col("_graft_v"), pl) >= 0, lit(1L << i)).otherwise(lit(0L))
         }.reduce(_ + _))
       .drop("_graft_v")
+  }
 
   /** Approximate top-k: restrict the exact scan to the query's LSH
     * bucket (plus optional Hamming-1 neighbor buckets for recall).

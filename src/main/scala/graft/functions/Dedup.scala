@@ -95,10 +95,16 @@ object Dedup {
       maxBucket: Int = MaxBucketForPairs): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // ids ride the group stage as strings (one Encoder fits every id
+    // type); numeric ids keep NUMERIC pair ordering and are cast back to
+    // their original type on output, so (a < b) semantics match the
+    // declarative path for longs and stay deterministic for strings
+    val idType = df.schema(idCol).dataType
+    val numericId = idType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     // staged Projects: tokens → (shingles, signature) → band keys — each
     // an attribute, so nothing re-tokenizes (TextFunctions staging note)
     val banded = df
-      .select(col(idCol).cast("long").as("id"),
+      .select(col(idCol).cast("string").as("id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("id"),
         TextFunctions.shinglesFromTokens(col("toks"), n).as("sh"),
@@ -107,16 +113,18 @@ object Dedup {
       .select(col("id"), col("sh"),
         posexplode(TextFunctions.bandKeysFromSig(col("sig"), k, rows))
           .as(Seq("band", "band_key")))
-      .as[(Long, Seq[String], Int, String)]
+      .as[(String, Seq[String], Int, String)]
     banded
       .groupByKey { case (_, _, band, key) => (band, key) }
-      .flatMapGroups { (_: (Int, String), members: Iterator[(Long, Seq[String], Int, String)]) =>
+      .flatMapGroups { (_: (Int, String), members: Iterator[(String, Seq[String], Int, String)]) =>
         // mega-buckets (> maxBucket) are degenerate — drop, as in the
         // declarative path; cap the materialized group first
         val docs = members.take(maxBucket + 1).toArray
         if (docs.length < 2 || docs.length > maxBucket) Iterator.empty
         else {
-          val sorted = docs.sortBy(_._1)
+          val sorted =
+            if (numericId) docs.sortBy(d => BigDecimal(d._1))
+            else docs.sortBy(_._1)
           val sets = sorted.map(d => d._2.toSet)
           for {
             i <- sorted.indices.iterator
@@ -130,6 +138,8 @@ object Dedup {
       }
       .toDF("a", "b", "jaccard")
       .distinct()
+      .select(col("a").cast(idType).as("a"), col("b").cast(idType).as("b"),
+        col("jaccard"))
   }
 
   /** SimHash near-dup: 64-bit simhash via the native Catalyst

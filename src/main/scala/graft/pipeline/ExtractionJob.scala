@@ -179,7 +179,7 @@ object ExtractionJob {
         committed += 1
         true
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           error = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
           false
       }
@@ -239,7 +239,7 @@ object ExtractionJob {
         n, n, 1, wm, durationSec)
       JobResult("COMPLETED", n, n, 1, wm, Seq.empty, durationSec, None)
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         val durationSec = (System.nanoTime() - t0) / 1e9
         writeMetrics(spark, tableRoot, runId, system, "delete", "FAILED",
           0, 0, 0, wm0, durationSec)
@@ -267,7 +267,7 @@ object ExtractionJob {
           "turns_per_sec")
         .write.mode("append").parquet(s"$tableRoot/metrics")
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"[graft] metrics write failed for run $runId (job status " +
             s"$status preserved): ${e.getMessage}")

@@ -133,15 +133,21 @@ object ExtractionPipeline {
 
   /** UTF-8 byte length without the `getBytes` copy (must equal Spark's
     * `octet_length` so the typed and expression paths stay row-for-row
-    * identical). */
+    * identical). Matches the JDK/UTF8String encoder exactly: a VALID
+    * surrogate pair is 4 bytes; an UNPAIRED surrogate encodes as the
+    * 1-byte replacement '?'. */
   private[pipeline] def utf8Length(s: String): Int = {
     if (s == null) return 0
     var n = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      n += (if (c < 0x80) 1 else if (c < 0x800) 2
-            else if (Character.isHighSurrogate(c)) { i += 1; 4 } else 3)
+      if (c < 0x80) n += 1
+      else if (c < 0x800) n += 2
+      else if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+        Character.isLowSurrogate(s.charAt(i + 1))) { n += 4; i += 1 }
+      else if (Character.isSurrogate(c)) n += 1 // unpaired → '?'
+      else n += 3
       i += 1
     }
     n

@@ -53,17 +53,31 @@ final class SnapshotTable(val root: String) {
       summary: Map[String, String] = Map.empty): String = {
     val parent = currentSnapshotId
     val snapshotId = f"${System.currentTimeMillis()}%013d-${parent.map(_ => nextSeq()).getOrElse(0)}%06d"
-    val dataPath = Paths.get(root, "data", snapshotId).toString
-    val writer = df.write.mode(SaveMode.ErrorIfExists)
-    (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*)
-     else writer).parquet(dataPath)
-    // data durable — now the manifest, then the atomic pointer swap
-    Files.createDirectories(metaDir)
-    val files = listParquet(Paths.get(dataPath))
+    val (dataPath, files) = writeData(df, partitionByCols, snapshotId)
     // cumulative view = ancestors' dirs + own dir (only if non-empty:
     // an empty parquet dir would fail schema inference on read)
     val paths = parent.map(dataPaths).getOrElse(Seq.empty) ++
       (if (files.nonEmpty) Seq(dataPath) else Seq.empty)
+    finalizeCommit(snapshotId, dataPath, paths, files, summary)
+  }
+
+  /** Write `df` into this snapshot's data dir; returns (dir, files). */
+  private def writeData(df: DataFrame, partitionByCols: Seq[String],
+      snapshotId: String): (String, Seq[String]) = {
+    val dataPath = Paths.get(root, "data", snapshotId).toString
+    val writer = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*)
+     else writer).parquet(dataPath)
+    (dataPath, listParquet(Paths.get(dataPath)))
+  }
+
+  /** Data is durable — write the manifest, then the atomic pointer
+    * swap. Shared by append commits and compaction rewrites so the
+    * commit protocol has exactly one implementation. */
+  private def finalizeCommit(snapshotId: String, dataPath: String,
+      paths: Seq[String], files: Seq[String],
+      summary: Map[String, String]): String = {
+    Files.createDirectories(metaDir)
     val json = snapshotJson(snapshotId, dataPath, paths, files, summary)
     Files.write(metaDir.resolve(s"snapshot-$snapshotId.json"),
       json.getBytes(StandardCharsets.UTF_8))
@@ -105,11 +119,13 @@ final class SnapshotTable(val root: String) {
   def history(): Seq[String] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(metaDir)) return Seq.empty
-    Files.list(metaDir).iterator().asScala
+    val s = Files.list(metaDir)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("snapshot-") && n.endsWith(".json"))
       .map(_.stripPrefix("snapshot-").stripSuffix(".json"))
       .toSeq.sorted
+    finally s.close()
   }
 
   /** Incremental read: union of the DELTAS committed strictly AFTER
@@ -146,21 +162,9 @@ final class SnapshotTable(val root: String) {
   private def commitRewrite(df: DataFrame, partitionByCols: Seq[String],
       summary: Map[String, String]): String = {
     val snapshotId = f"${System.currentTimeMillis()}%013d-${nextSeq()}%06d"
-    val dataPath = Paths.get(root, "data", snapshotId).toString
-    val writer = df.write.mode(SaveMode.ErrorIfExists)
-    (if (partitionByCols.nonEmpty) writer.partitionBy(partitionByCols: _*)
-     else writer).parquet(dataPath)
-    Files.createDirectories(metaDir)
-    val files = listParquet(Paths.get(dataPath))
+    val (dataPath, files) = writeData(df, partitionByCols, snapshotId)
     val paths = if (files.nonEmpty) Seq(dataPath) else Seq.empty
-    val json = snapshotJson(snapshotId, dataPath, paths, files, summary)
-    Files.write(metaDir.resolve(s"snapshot-$snapshotId.json"),
-      json.getBytes(StandardCharsets.UTF_8))
-    val tmp = metaDir.resolve("current.tmp")
-    Files.write(tmp, snapshotId.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, metaDir.resolve("current"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    snapshotId
+    finalizeCommit(snapshotId, dataPath, paths, files, summary)
   }
 
   /** Drop snapshots older than `keepLast` committed ones and delete any
@@ -175,14 +179,19 @@ final class SnapshotTable(val root: String) {
     val live: Set[String] = kept.flatMap(dataPaths).toSet
     expired.foreach { id =>
       val dir = Paths.get(root, "data", id)
-      if (!live.contains(dir.toString) && Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
+      if (!live.contains(dir.toString) && Files.exists(dir))
+        deleteRecursively(dir)
       Files.deleteIfExists(metaDir.resolve(s"snapshot-$id.json"))
     }
     expired
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    finally s.close()
   }
 
   def snapshotSummary(id: String): Map[String, String] = {
@@ -191,14 +200,21 @@ final class SnapshotTable(val root: String) {
       .findAllMatchIn(raw).map(m => m.group(1) -> m.group(2)).toMap
   }
 
-  /** Cumulative non-empty data directories of a committed snapshot. */
+  /** Cumulative non-empty data directories of a committed snapshot.
+    * Falls back to the legacy single `data-path` key (manifests written
+    * before cumulative commits) so old tables read their own delta
+    * instead of silently reading as empty. */
   def dataPaths(id: String): Seq[String] = {
     val raw = manifest(id)
     """"data-paths"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(raw) match {
       case Some(m) =>
         """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
           .map(g => unescape(g.group(1))).toSeq
-      case None => Seq.empty
+      case None =>
+        """"data-path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
+          .map(m => unescape(m.group(1)))
+          .filter(p => listParquet(Paths.get(p)).nonEmpty)
+          .toSeq
     }
   }
 
@@ -216,9 +232,13 @@ final class SnapshotTable(val root: String) {
   private def listParquet(dir: java.nio.file.Path): Seq[String] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(dir)) Seq.empty
-    else Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
+    else {
+      val s = Files.walk(dir)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+      finally s.close()
+    }
   }
 
   private def snapshotJson(id: String, dataPath: String, paths: Seq[String],

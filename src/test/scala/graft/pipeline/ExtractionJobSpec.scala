@@ -234,6 +234,16 @@ class ExtractExprParitySpec extends graft.SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(2000))
   }
 
+  test("utf8Length == octet_length, including unpaired surrogates") {
+    import spark.implicits._
+    val weird = Seq("", "ascii", "café", "€ euro",
+      "emoji 😀", "\ud800A", "a\udc00", "\ud800")
+    val sparkBytes = weird.toDF("text")
+      .select(octet_length(col("text"))).as[Int].collect().toSeq
+    val ours = weird.map(ExtractionPipeline.utf8Length)
+    assert(ours == sparkBytes, s"ours=$ours spark=$sparkBytes")
+  }
+
   test("extractExpr == extract on the same eligible slice") {
     val cfg = graft.fixtures.TranscriptGen.GenConfig(nConvs = 30)
     val turns = graft.fixtures.TranscriptGen.dataset(spark, cfg).toDF()
