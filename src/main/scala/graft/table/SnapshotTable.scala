@@ -97,11 +97,15 @@ final class SnapshotTable(val root: String) {
   }
 
   /** Time travel: the full table view as of a committed snapshot
-    * (snapshots are immutable — an Iceberg `VERSION AS OF` analog). */
+    * (snapshots are immutable — an Iceberg `VERSION AS OF` analog).
+    * Columns are matched BY NAME across commits, and columns absent
+    * from older commits read as null — add-column schema evolution
+    * (the Iceberg default) works without rewriting history. */
   def readAt(spark: SparkSession, snapshotId: String): DataFrame = {
     val paths = dataPaths(snapshotId)
     if (paths.isEmpty) spark.emptyDataFrame
-    else paths.map(readDir(spark, _)).reduce(_.unionByName(_))
+    else paths.map(readDir(spark, _))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** ONLY the rows this snapshot's commit added (its delta). */
@@ -134,11 +138,16 @@ final class SnapshotTable(val root: String) {
     * checkpointed snapshot id instead of re-reading the table. */
   def readIncremental(spark: SparkSession,
       sinceSnapshotId: String): DataFrame = {
-    val newer = history().filter(_ > sinceSnapshotId)
-    if (newer.isEmpty)
+    // fileless deltas (zero-row commits) are schemaless — skip them
+    // rather than unioning a 0-column frame into the result
+    val dirs = history().filter(_ > sinceSnapshotId)
+      .map(id => Paths.get(root, "data", id))
+      .filter(d => listParquet(d).nonEmpty)
+    if (dirs.isEmpty)
       spark.emptyDataFrame
     else
-      newer.map(deltaAt(spark, _)).reduce(_.unionByName(_))
+      dirs.map(d => readDir(spark, d.toString))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Rewrite the current table view as ONE new data directory and

@@ -32,6 +32,23 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readIncremental(spark, s3).count() == 0)
   }
 
+  test("add-column schema evolution: old commits read the new column as null") {
+    val root = tmpDir("snap-")
+    val t = new SnapshotTable(root)
+    val s1 = t.commit(Seq((1, "a")).toDF("k", "v"), Seq.empty)
+    val s2 = t.commit(Seq((2, "b")).toDF("k", "v"), Seq.empty) // pre-evolution
+    t.commit(Seq((3, "c", 9.5)).toDF("k", "v", "score"), Seq.empty)
+    val out = t.read(spark).orderBy("k")
+    assert(out.columns.toSet == Set("k", "v", "score"))
+    assert(out.select("score").as[Option[Double]].collect()
+      .toSeq == Seq(None, None, Some(9.5)))
+    // incremental across the evolution boundary also aligns by name
+    val inc = t.readIncremental(spark, s1).orderBy("k")
+    assert(inc.select("k").as[Int].collect().toSeq == Seq(2, 3))
+    // time travel to the pre-evolution snapshot keeps the old schema
+    assert(t.readAt(spark, s2).columns.toSet == Set("k", "v"))
+  }
+
   test("zero-row commit keeps the committed view readable") {
     val root = tmpDir("snap-")
     val t = new SnapshotTable(root)
