@@ -141,6 +141,28 @@ class DedupSpec extends SparkSpec {
     assert(drops == Set(2L, 4L))
   }
 
+  test("jaccard pairs work with string doc ids (and match the long-id run)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val rows = Seq(
+      (7L, base), (10L, base + " phi"), (9L, "totally unrelated words here"))
+    val longDf = rows.toDF("doc_id", "text")
+    val strDf = rows.map { case (i, t) => (s"doc-$i", t) }.toDF("doc_id", "text")
+    val fromLong = Dedup.ngramJaccardPairs(longDf, "text", "doc_id",
+        n = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromStr = Dedup.ngramJaccardPairs(strDf, "text", "doc_id",
+        n = 3, threshold = 0.2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(fromLong == Set((7L, 10L, fromLong.head._3)))
+    // string ordering: "doc-10" < "doc-7" lexicographically
+    assert(fromStr.map { case (a, b, _) => (a, b) } == Set(("doc-10", "doc-7")))
+    assert(fromStr.head._3 == fromLong.head._3, "same jaccard either way")
+    // output column types follow the input id type
+    assert(Dedup.ngramJaccardPairs(strDf, "text", "doc_id").schema("a")
+      .dataType.typeName == "string")
+  }
+
   test("minhash lsh buckets group near-identical docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
