@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Dot product of two double arrays — built-in zip_with/aggregate,
-    * stays inside whole-stage codegen. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two double arrays — native codegen'd expression
+    * (tight primitive loop), bit-identical to the interpreted
+    * `aggregate(zip_with(...))` left fold it replaced (same IEEE op
+    * order, so every oracle hash is unchanged). */
+  def dot(a: Column, b: Column): Column = Expressions.arrayDot(a, b)
 
   /** 4-decimal rounding via pure double arithmetic — unlike round(),
     * bit-identical across engines at exact half-boundaries (the same
@@ -103,9 +104,7 @@ object Ann {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+  private def l2sq(a: Column, b: Column): Column = Expressions.arrayL2Sq(a, b)
 
   /** Stage cell id = argmin L2 distance to the centroid list. The cast
     * vector and the 16-distance array are their own Projects so the

@@ -56,6 +56,39 @@ object HashKernels {
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }
 
+/** Static vector kernels shared by interpreted eval and generated code.
+  * Each fold accumulates LEFT-TO-RIGHT from 0.0 — bit-identical to the
+  * `aggregate(zip_with(...), 0.0, _ + _)` higher-order-function trees
+  * they replace (and to DuckDB's list_dot_product), so swapping them in
+  * changes no query hash. Mismatched lengths return null, matching
+  * zip_with's null-padding semantics.
+  */
+object VectorKernels {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def dot(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def l2sq(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}
+
 /** Native Catalyst expression: FNV-1a 64-bit of a string column.
   * Participates in whole-stage codegen via a static call — no UDF
   * serialization, no boxing beyond the Long result.
@@ -99,6 +132,54 @@ case class ExtractMainContent(child: Expression) extends UnaryExpression
     copy(c)
 }
 
+/** Native dot product of two `array<double>` columns: a tight primitive
+  * loop inside whole-stage codegen, replacing the interpreted
+  * `aggregate(zip_with(...))` HOF tree in every ANN/near-dup scan.
+  * Elements are assumed non-null (the engine only builds these arrays
+  * from casts/transforms of non-null embeddings); mismatched lengths
+  * yield null, like zip_with padding. */
+case class ArrayDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""Object r = graft.functions.VectorKernels.dot($a, $b);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+    copy(l, r)
+}
+
+/** Native squared L2 distance of two `array<double>` columns (the IVF
+  * cell-assignment primitive) — same contract as [[ArrayDot]]. */
+case class ArrayL2Sq(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.l2sq(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""Object r = graft.functions.VectorKernels.l2sq($a, $b);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayL2Sq =
+    copy(l, r)
+}
+
 /** Whole-extraction expression: one call per row returning
   * struct(payload_kind, extracted_text, n_spans) — the zero-object-churn
   * path: input UTF8String in, InternalRow out, no case-class
@@ -138,6 +219,10 @@ object Expressions {
 
   def fnv1a64(c: Column): Column = column(Fnv1a64(expression(c)))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def arrayDot(a: Column, b: Column): Column =
+    column(ArrayDot(expression(a), expression(b)))
+  def arrayL2Sq(a: Column, b: Column): Column =
+    column(ArrayL2Sq(expression(a), expression(b)))
   def extractMainContent(c: Column): Column =
     column(ExtractMainContent(expression(c)))
   def extractAll(c: Column): Column = column(ExtractAll(expression(c)))

@@ -104,6 +104,39 @@ class AnnSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("native ArrayDot/ArrayL2Sq are bit-identical to the HOF folds") {
+    import spark.implicits._
+    val df = spark.range(0, 200).select(
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(col("id") * 31 + i, lit(97)) - 48).cast("double") / 7.0)
+        .as("a"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(col("id") * 17 + i * 3, lit(89)) - 44).cast("double") / 5.0)
+        .as("b"))
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val hofL2 = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    val cmp = df.select(
+      Expressions.arrayDot(col("a"), col("b")).as("nd"), hofDot.as("hd"),
+      Expressions.arrayL2Sq(col("a"), col("b")).as("nl"), hofL2.as("hl"))
+    // bit-exact equality, not approximate: the kernels must preserve the
+    // left-fold IEEE op order or oracle hashes break
+    assert(cmp.filter(col("nd") =!= col("hd") || col("nl") =!= col("hl"))
+      .count() == 0)
+    // mismatched lengths → null (zip_with padding semantics)
+    val short = df.select(col("a"), slice(col("b"), 1, 10).as("b"))
+    assert(short.select(Expressions.arrayDot(col("a"), col("b")))
+      .filter(col("ArrayDot(a, b)").isNotNull).count() == 0)
+    // runs inside whole-stage codegen (assert on a native-only
+    // projection: the HOF aggregates above are interpreted by design
+    // and would force the shared Project out of codegen)
+    val plan = df.select(Expressions.arrayDot(col("a"), col("b")),
+        Expressions.arrayL2Sq(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("), plan.take(500))
+  }
+
   test("cosine top-k keeps the norm staged (no O(d²) lambda inlining)") {
     val q = embs.filter(col("vec_id") === 0)
       .head().getSeq[Float](embs.columns.indexOf("embedding")).map(_.toDouble)
