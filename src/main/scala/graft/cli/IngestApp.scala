@@ -14,6 +14,7 @@ import graft.table.CheckpointStore
   * spark-submit --class graft.cli.IngestApp <jar> \
   *   --input  <transcript table path (parquet dir)> \
   *   --table  <output table root> \
+  *   [--format parquet|json|csv]       # input format (default parquet)
   *   [--system cs] [--mode ingest|delete] [--chunks 8] [--salt 8]
   *   [--since "2023-03-22 11:59:59"]   # watermark override (backfill)
   *   [--seed-watermark "..."]          # bootstrap a missing checkpoint
@@ -44,7 +45,8 @@ object IngestApp {
         java.sql.Timestamp.valueOf(ts))
     }
 
-    val turns = spark.read.parquet(input)
+    val turns = graft.sources.TranscriptSource.read(spark, input,
+      opts.getOrElse("format", "parquet"))
     val result = mode match {
       case "ingest" =>
         ExtractionJob.run(spark, turns, table, system, mode,
