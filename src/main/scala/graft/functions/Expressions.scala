@@ -65,13 +65,32 @@ object HashKernels {
   */
 object VectorKernels {
   import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
+  def checkDoubleArrays(name: String, exprs: Expression*): TypeCheckResult = {
+    val bad = exprs.map(_.dataType).collect {
+      case t if !t.isInstanceOf[ArrayType] ||
+        t.asInstanceOf[ArrayType].elementType != DoubleType => t
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<double> inputs, got " +
+        bad.map(_.catalogString).mkString(", "))
+  }
+
+  /** Null on length mismatch (zip_with padding) and on any null element
+    * (acc + null = null in the HOF fold) — never a silently-wrong 0.0. */
   def dot(a: ArrayData, b: ArrayData): Any = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -81,6 +100,7 @@ object VectorKernels {
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getDouble(i) - b.getDouble(i)
       s += d * d
       i += 1
@@ -141,6 +161,10 @@ case class ExtractMainContent(child: Expression) extends UnaryExpression
 case class ArrayDot(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types._
+  // reject anything but array<double> at analysis time: getDouble over a
+  // float array would silently reinterpret bytes, not cast
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorKernels.checkDoubleArrays(prettyName, left, right)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -149,9 +173,12 @@ case class ArrayDot(left: Expression, right: Expression)
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""Object r = graft.functions.VectorKernels.dot($a, $b);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+      // freshName: a fixed local collides when two instances land in one
+      // generated method scope (Janino "Redefinition of local variable")
+      val r = ctx.freshName("dotRes")
+      s"""Object $r = graft.functions.VectorKernels.dot($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
          |""".stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
@@ -163,6 +190,8 @@ case class ArrayDot(left: Expression, right: Expression)
 case class ArrayL2Sq(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types._
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorKernels.checkDoubleArrays(prettyName, left, right)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -171,9 +200,10 @@ case class ArrayL2Sq(left: Expression, right: Expression)
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""Object r = graft.functions.VectorKernels.l2sq($a, $b);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Double) r).doubleValue(); }
+      val r = ctx.freshName("l2Res")
+      s"""Object $r = graft.functions.VectorKernels.l2sq($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
          |""".stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayL2Sq =

@@ -108,7 +108,9 @@ final class SnapshotTable(val root: String) {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** ONLY the rows this snapshot's commit added (its delta). */
+  /** ONLY the rows this snapshot's commit added (its delta). Note: a
+    * compaction snapshot's "delta" is the rewritten full view — use
+    * [[readIncremental]], which excludes rewrites, for change feeds. */
   def deltaAt(spark: SparkSession, snapshotId: String): DataFrame = {
     val dir = Paths.get(root, "data", snapshotId)
     if (listParquet(dir).isEmpty) spark.emptyDataFrame
@@ -138,9 +140,11 @@ final class SnapshotTable(val root: String) {
     * checkpointed snapshot id instead of re-reading the table. */
   def readIncremental(spark: SparkSession,
       sinceSnapshotId: String): DataFrame = {
-    // fileless deltas (zero-row commits) are schemaless — skip them
-    // rather than unioning a 0-column frame into the result
+    // skip fileless deltas (zero-row commits are schemaless) AND rewrite
+    // snapshots (a compaction's data dir is the full table view, not new
+    // rows — including it would re-deliver the entire history as delta)
     val dirs = history().filter(_ > sinceSnapshotId)
+      .filterNot(id => snapshotSummary(id).get("compaction").contains("true"))
       .map(id => Paths.get(root, "data", id))
       .filter(d => listParquet(d).nonEmpty)
     if (dirs.isEmpty)

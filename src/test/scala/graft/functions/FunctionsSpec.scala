@@ -128,13 +128,19 @@ class AnnSpec extends SparkSpec {
     val short = df.select(col("a"), slice(col("b"), 1, 10).as("b"))
     assert(short.select(Expressions.arrayDot(col("a"), col("b")))
       .filter(col("ArrayDot(a, b)").isNotNull).count() == 0)
-    // runs inside whole-stage codegen (assert on a native-only
-    // projection: the HOF aggregates above are interpreted by design
-    // and would force the shared Project out of codegen)
-    val plan = df.select(Expressions.arrayDot(col("a"), col("b")),
-        Expressions.arrayL2Sq(col("a"), col("b")))
-      .queryExecution.executedPlan.toString
-    assert(plan.linesIterator.next().startsWith("*("), plan.take(500))
+    // runs inside whole-stage codegen AND the generated code COMPILES:
+    // fallback=false turns a silent interpreted fallback (e.g. the
+    // duplicate-local-variable Janino failure when several instances
+    // share one method scope over non-nullable inputs) into a hard error
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val both = df.select(Expressions.arrayDot(col("a"), col("b")),
+        Expressions.arrayL2Sq(col("a"), col("b")),
+        Expressions.arrayDot(col("b"), col("a")))
+      assert(both.collect().length == 200)
+      val plan = both.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.next().startsWith("*("), plan.take(500))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
   test("cosine top-k keeps the norm staged (no O(d²) lambda inlining)") {

@@ -53,6 +53,23 @@ class TranscriptSourceSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       TranscriptSource.read(spark, bad)
     }
+    // parquet with a wrong column TYPE also fails at read, not downstream
+    val badType = tmpDir("src-bad-") + "/ty"
+    TranscriptGen.dataset(spark, GenConfig(nConvs = 2)).toDF()
+      .withColumn("ts", col("ts").cast("string")).write.parquet(badType)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      TranscriptSource.read(spark, badType)
+    }
+    // json with a RENAMED key: supplied schemas null absent fields, so
+    // the bounded sample check must reject it loudly
+    val badJson = tmpDir("src-bad-") + "/j"
+    TranscriptGen.dataset(spark, GenConfig(nConvs = 2)).toDF()
+      .withColumnRenamed("text", "content")
+      .write.options(fmtOpts).json(badJson)
+    val ex = intercept[IllegalArgumentException] {
+      TranscriptSource.read(spark, badJson, "json", fmtOpts)
+    }
+    assert(ex.getMessage.contains("text"))
   }
 
   test("spark.sql end-to-end: registered extraction exprs over a temp view") {

@@ -85,6 +85,12 @@ class SnapshotTableSpec extends SparkSpec {
     t.commit(Seq((5, "e")).toDF("k", "v"), Seq.empty)
     assert(t.read(spark).count() == 5)
 
+    // incremental across the compaction boundary: the rewrite is NOT a
+    // delta — a consumer checkpointed at s3 sees only the post-compaction
+    // append, never the whole rewritten history
+    assert(t.readIncremental(spark, s3).select("k").as[Int].collect()
+      .toSeq == Seq(5))
+
     // expire everything but the last two snapshots: the pre-compaction
     // chunk dirs are no longer referenced by any survivor and vanish
     val expired = t.expireSnapshots(keepLast = 2)
