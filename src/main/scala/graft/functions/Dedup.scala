@@ -95,17 +95,19 @@ object Dedup {
       maxBucket: Int = MaxBucketForPairs): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // ids ride the group stage as strings (one Encoder fits every id
-    // type); numeric ids keep NUMERIC pair ordering and are cast back to
-    // their original type on output, so (a < b) semantics match the
-    // declarative path for longs and stay deterministic for strings
     val idType = df.schema(idCol).dataType
-    val numericId = idType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val ord = idOrdering(idType)
     // staged Projects: tokens → (shingles, signature) → band keys — each
-    // an attribute, so nothing re-tokenizes (TextFunctions staging note)
+    // an attribute, so nothing re-tokenizes (TextFunctions staging note).
+    // Null text yields a null token array but NON-null shingles ([""] —
+    // greatest() skips the null count) and non-null band keys, so two
+    // null-text docs would otherwise "verify" at jaccard 1.0; dropping
+    // null-toks/null-id rows BEFORE the group stage reproduces the old
+    // declarative path's silent null-jaccard exclusion.
     val banded = df
       .select(col(idCol).cast("string").as("id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(col("id").isNotNull && col("toks").isNotNull)
       .select(col("id"),
         TextFunctions.shinglesFromTokens(col("toks"), n).as("sh"),
         TextFunctions.minhashSigFromTokens(array_distinct(col("toks")), k)
@@ -122,9 +124,7 @@ object Dedup {
         val docs = members.take(maxBucket + 1).toArray
         if (docs.length < 2 || docs.length > maxBucket) Iterator.empty
         else {
-          val sorted =
-            if (numericId) docs.sortBy(d => BigDecimal(d._1))
-            else docs.sortBy(_._1)
+          val sorted = docs.sortBy(_._1)(ord)
           val sets = sorted.map(d => d._2.toSet)
           for {
             i <- sorted.indices.iterator
@@ -140,6 +140,31 @@ object Dedup {
       .distinct()
       .select(col("a").cast(idType).as("a"), col("b").cast(idType).as("b"),
         col("jaccard"))
+  }
+
+  /** Pair-ordering for ids that rode the group stage as strings: must
+    * match Spark's own `col("a") < col("b")` on the ORIGINAL type so the
+    * (a, b) orientation is identical to the declarative join path.
+    * Integral/decimal strings always re-parse; float/double compare via
+    * java.lang.Double (NaN greatest — Spark's NaN ordering); everything
+    * else compares in UTF8String binary order (code points), NOT Java
+    * UTF-16 code-unit order, which flips for supplementary-plane chars. */
+  private def idOrdering(
+      idType: org.apache.spark.sql.types.DataType): Ordering[String] = {
+    import org.apache.spark.sql.types._
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Ordering.by(_.toLong)
+      case _: DecimalType => Ordering.by(BigDecimal(_))
+      case FloatType | DoubleType =>
+        (a: String, b: String) =>
+          java.lang.Double.compare(java.lang.Double.parseDouble(a),
+            java.lang.Double.parseDouble(b))
+      case _ =>
+        (a: String, b: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    }
   }
 
   /** SimHash near-dup: 64-bit simhash via the native Catalyst

@@ -123,10 +123,11 @@ object ExtractionJob {
           Map("run-id" -> runId, "chunk" -> chunkIdx.toString,
             "mode" -> mode, "system" -> system))
         val row = obs.get
-        val n = row("rows").asInstanceOf[Long]
-        // AQE's empty-relation propagation prunes the inner
-        // CollectMetrics node when a chunk has no fresh rows — an absent
-        // metric therefore means 0 rows scanned, not an error
+        // AQE's empty-relation propagation can prune EITHER CollectMetrics
+        // node when a chunk has no fresh rows (Spark completes with an
+        // empty metrics row) — an absent metric means 0 rows scanned, not
+        // an error, so never index the map directly
+        val n = row.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
         rowsRead += obsIn.get.get("rows_in")
           .map(_.asInstanceOf[Long]).getOrElse(0L)
         rowsWritten += n
@@ -169,12 +170,17 @@ object ExtractionJob {
         // watermark := max ts of the committed chunk (A2 running-max,
         // TxaKafkaItemWriter.java:52-79); empty chunk keeps prior wm
         if (n > 0) {
-          wm = row("max_ts") match {
-            case t: Timestamp => t
-            case i: java.time.Instant => Timestamp.from(i)
-            case other => Timestamp.valueOf(other.toString)
+          // same pruning guard: a missing max_ts (cannot happen when
+          // n > 0 came from the same metrics row, but cheap to honor the
+          // contract) keeps the prior watermark instead of throwing
+          row.get("max_ts").foreach { v =>
+            wm = v match {
+              case t: Timestamp => t
+              case i: java.time.Instant => Timestamp.from(i)
+              case other => Timestamp.valueOf(other.toString)
+            }
+            store.write(system, mode, wm)
           }
-          store.write(system, mode, wm)
         }
         committed += 1
         true
@@ -227,12 +233,14 @@ object ExtractionJob {
           max(col("ts")).as("max_ts")))
       eventSink.publish(events, topic = s"$system-delete")
       val row = obs.get
-      val n = row("rows").asInstanceOf[Long]
-      val wm = if (n > 0) row("max_ts") match {
+      // pruning guard (see the ingest path): empty selection may complete
+      // with an empty metrics row instead of rows=0
+      val n = row.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
+      val wm = if (n > 0) row.get("max_ts").map {
         case t: Timestamp => t
         case i: java.time.Instant => Timestamp.from(i)
         case other => Timestamp.valueOf(other.toString)
-      } else wm0
+      }.getOrElse(wm0) else wm0
       if (n > 0) store.write(system, "delete", wm)
       val durationSec = (System.nanoTime() - t0) / 1e9
       writeMetrics(spark, tableRoot, runId, system, "delete", "COMPLETED",

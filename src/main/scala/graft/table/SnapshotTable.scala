@@ -58,7 +58,7 @@ final class SnapshotTable(val root: String) {
     // an empty parquet dir would fail schema inference on read)
     val paths = parent.map(dataPaths).getOrElse(Seq.empty) ++
       (if (files.nonEmpty) Seq(dataPath) else Seq.empty)
-    finalizeCommit(snapshotId, dataPath, paths, files, summary)
+    finalizeCommit(snapshotId, dataPath, paths, files, summary, parent)
   }
 
   /** Write `df` into this snapshot's data dir; returns (dir, files). */
@@ -73,10 +73,21 @@ final class SnapshotTable(val root: String) {
 
   /** Data is durable — write the manifest, then the atomic pointer
     * swap. Shared by append commits and compaction rewrites so the
-    * commit protocol has exactly one implementation. */
+    * commit protocol has exactly one implementation.
+    *
+    * Cumulative manifests make concurrent commits LOSE DATA, not just a
+    * pointer: two writers that read the same parent each build a path
+    * list missing the other's data dir, and the second swap silently
+    * drops the first commit from every future read. The table is
+    * single-writer by contract; [[requireParent]] turns a violated
+    * contract into a failed commit instead of silent loss. (A
+    * check-then-move window remains — filesystem rename carries no
+    * compare — so this is optimistic detection, not a lock.) */
   private def finalizeCommit(snapshotId: String, dataPath: String,
       paths: Seq[String], files: Seq[String],
-      summary: Map[String, String]): String = {
+      summary: Map[String, String],
+      expectedParent: Option[String]): String = {
+    requireParent(expectedParent)
     Files.createDirectories(metaDir)
     val json = snapshotJson(snapshotId, dataPath, paths, files, summary)
     Files.write(metaDir.resolve(s"snapshot-$snapshotId.json"),
@@ -86,6 +97,18 @@ final class SnapshotTable(val root: String) {
     Files.move(tmp, metaDir.resolve("current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     snapshotId
+  }
+
+  /** Fail the commit if another writer advanced `current` since this
+    * commit captured its parent (see [[finalizeCommit]]). */
+  private[table] def requireParent(expected: Option[String]): Unit = {
+    val now = currentSnapshotId
+    if (now != expected)
+      throw new java.util.ConcurrentModificationException(
+        s"table $root: current snapshot is ${now.getOrElse("<none>")} but " +
+          s"this commit was built on ${expected.getOrElse("<none>")} — " +
+          "concurrent writer detected; committing would drop its data " +
+          "from the cumulative manifest")
   }
 
   /** Read the currently-committed table view (all commits up to
@@ -166,18 +189,20 @@ final class SnapshotTable(val root: String) {
     */
   def compact(spark: SparkSession, partitionByCols: Seq[String],
       summary: Map[String, String] = Map.empty): String = {
+    val parent = currentSnapshotId
     val view = read(spark)
-    commitRewrite(view, partitionByCols, summary + ("compaction" -> "true"))
+    commitRewrite(view, partitionByCols, summary + ("compaction" -> "true"),
+      parent)
   }
 
   /** Commit `df` as a REWRITE snapshot: its manifest references only its
     * own data dir (a full-table view), not the ancestor chain. */
   private def commitRewrite(df: DataFrame, partitionByCols: Seq[String],
-      summary: Map[String, String]): String = {
+      summary: Map[String, String], expectedParent: Option[String]): String = {
     val snapshotId = f"${System.currentTimeMillis()}%013d-${nextSeq()}%06d"
     val (dataPath, files) = writeData(df, partitionByCols, snapshotId)
     val paths = if (files.nonEmpty) Seq(dataPath) else Seq.empty
-    finalizeCommit(snapshotId, dataPath, paths, files, summary)
+    finalizeCommit(snapshotId, dataPath, paths, files, summary, expectedParent)
   }
 
   /** Drop snapshots older than `keepLast` committed ones and delete any

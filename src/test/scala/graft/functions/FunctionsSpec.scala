@@ -228,6 +228,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("jaccard pairs survive null text, null ids, and empty docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // several null-text docs (all-null sig → identical md5('') band keys:
+    // they land in ONE bucket together and used to NPE in flatMapGroups),
+    // plus empty-token docs that share those same keys, plus a null id
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), base),
+      (java.lang.Long.valueOf(2L), base),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[String]),
+      (java.lang.Long.valueOf(4L), null.asInstanceOf[String]),
+      (java.lang.Long.valueOf(5L), "   "),
+      (null.asInstanceOf[java.lang.Long], base))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+      n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the real near-dup pair survives; null/empty rows are silently
+    // excluded exactly like the old declarative path's null-jaccard filter
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("jaccard pairs verify candidates exactly") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = Seq((1L, base), (2L, base), (3L, "x y z"))

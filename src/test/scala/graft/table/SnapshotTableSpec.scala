@@ -125,4 +125,22 @@ class SnapshotTableSpec extends SparkSpec {
     val scan = read.queryExecution.executedPlan.toString
     assert(!scan.contains("year=2023") || scan.contains("PartitionFilters"))
   }
+
+  test("concurrent-writer detection: stale parent fails the commit") {
+    val root = tmpDir("snap-")
+    val t = new SnapshotTable(root)
+    val id1 = t.commit(Seq((1, "a")).toDF("k", "v"), Seq.empty)
+    // a commit built on the pre-id1 state (parent None) must fail rather
+    // than swap the pointer and drop id1's data dir from the manifest
+    intercept[java.util.ConcurrentModificationException] {
+      t.requireParent(None)
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.requireParent(Some("0000000000000-000000"))
+    }
+    // the up-to-date parent passes, and sequential commits still work
+    t.requireParent(Some(id1))
+    val id2 = t.commit(Seq((2, "b")).toDF("k", "v"), Seq.empty)
+    assert(t.read(spark).count() == 2, s"cumulative view after $id2")
+  }
 }
