@@ -118,14 +118,19 @@ object TrainingQueries {
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"))),
 
     // self-contained near-dup scale path: bucket by computed sign-LSH
-    // (no pre-existing label column needed), then bucket-local pairs
-    "q41_lsh_neardups" -> ((s, dir) => {
-      val planes = Ann.hyperplanes(8, 64)
-      val bucketed = Ann.withLshBucket(embs(s, dir), "embedding", planes,
-        "lsh_bucket")
-      Dedup.embeddingNearDups(bucketed, "embedding", "vec_id",
-        "lsh_bucket", threshold = 0.2)
-    }),
+    // (no pre-existing label column needed), then bucket-local capped
+    // pairs; 8 planes is the oracle-pinned small-scale operating point
+    "q41_lsh_neardups" -> ((s, dir) =>
+      Dedup.lshNearDups(embs(s, dir), "embedding", "vec_id",
+        nPlanes = 8, dim = 64, threshold = 0.2)),
+
+    // the corpus-scale operating point of the same operator: nPlanes
+    // sized ~log₂(N) so expected occupancy N/2^nPlanes stays O(1) —
+    // 12 planes = 4096 buckets here (the oracle pins 12; at 10⁹ vectors
+    // the same dial reads 24)
+    "q48_lsh_neardups_scaled" -> ((s, dir) =>
+      Dedup.lshNearDups(embs(s, dir), "embedding", "vec_id",
+        nPlanes = 12, dim = 64, threshold = 0.2)),
 
     "q33_lsh_ann" -> ((s, dir) =>
       Ann.lshTopK(embs(s, dir), "embedding", "vec_id",
@@ -268,10 +273,10 @@ object TrainingQueries {
        |  (acc, x) -> acc + x)""".stripMargin
 
   /** The deterministic sign-LSH bucket of a DOUBLE[] expr, with the
-    * 8×64 hyperplanes from Ann.hyperplanes(8, 64) embedded as literals
+    * nPlanes×64 hyperplanes from Ann.hyperplanes embedded as literals
     * (Double.toString round-trips exactly through DuckDB's parser). */
-  private def lshBucketSql(v: String): String = {
-    val planes = Ann.hyperplanes(8, 64)
+  private def lshBucketSql(v: String, nPlanes: Int = 8): String = {
+    val planes = Ann.hyperplanes(nPlanes, 64)
     "(" + planes.zipWithIndex.map { case (p, i) =>
       val lit = "[" + p.map(java.lang.Double.toString).mkString(",") + "]::DOUBLE[]"
       s"CASE WHEN list_dot_product($v, $lit) >= 0 THEN ${1L << i} ELSE 0 END"
@@ -413,9 +418,14 @@ object TrainingQueries {
          |bands AS (
          |  SELECT doc_id, b, (u >> (b*16)) & 65535 AS key
          |  FROM shu, range(4) r(b)),
+         |ok AS (
+         |  SELECT b, key FROM bands GROUP BY b, key
+         |  HAVING count(*) BETWEEN 2 AND ${Dedup.MaxBucketForPairs}),
          |p AS (
          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bands l JOIN bands r ON l.b = r.b AND l.key = r.key
+         |  FROM bands l
+         |  JOIN ok USING (b, key)
+         |  JOIN bands r ON l.b = r.b AND l.key = r.key
          |  WHERE l.doc_id < r.doc_id)
          |SELECT p.a, p.b, CAST(bit_count(xor(la.u, lb.u)) AS INT) AS hamming
          |FROM p JOIN shu la ON la.doc_id = p.a
@@ -484,25 +494,36 @@ object TrainingQueries {
       """SELECT asset_id, width, height, payload_bytes
         |FROM read_parquet('/root/repo/fixtures/media_resize_500.parquet')""".stripMargin,
 
-    "q41_lsh_neardups" ->
-      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-         |        ${lshBucketSql("embedding::DOUBLE[]")} AS bkt
-         |      FROM embeddings),
-         |n AS (SELECT vec_id, bkt, $NormE AS v FROM b)
-         |SELECT l.vec_id AS a, r.vec_id AS b,
-         |  floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 AS cos
-         |FROM n l JOIN n r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
-         |WHERE floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin,
+    "q41_lsh_neardups" -> lshNearDupsSql(8),
+
+    "q48_lsh_neardups_scaled" -> lshNearDupsSql(12),
 
     "q32_embedding_neardups" ->
-      """WITH n AS (SELECT vec_id, label,
-        |  CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
-        |    THEN list_transform(embedding::DOUBLE[],
-        |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
-        |    ELSE embedding::DOUBLE[] END AS v FROM embeddings)
-        |SELECT l.vec_id AS a, r.vec_id AS b,
-        |  floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 AS cos
-        |FROM n l JOIN n r ON l.label = r.label AND l.vec_id < r.vec_id
-        |WHERE floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin
+      s"""WITH n AS (SELECT vec_id, label,
+         |  CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+         |    THEN list_transform(embedding::DOUBLE[],
+         |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+         |    ELSE embedding::DOUBLE[] END AS v FROM embeddings),
+         |ok AS (SELECT label FROM embeddings GROUP BY label
+         |       HAVING count(*) BETWEEN 2 AND ${Dedup.MaxEmbBucketForPairs})
+         |SELECT l.vec_id AS a, r.vec_id AS b,
+         |  floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 AS cos
+         |FROM n l JOIN ok USING (label)
+         |  JOIN n r ON l.label = r.label AND l.vec_id < r.vec_id
+         |WHERE floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin
   )
+
+  /** Sign-LSH near-dup oracle with the occupancy cap mirrored
+    * (HAVING BETWEEN 2 AND cap, as in the Spark `ok` aggregation). */
+  private def lshNearDupsSql(nPlanes: Int): String =
+    s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |        ${lshBucketSql("embedding::DOUBLE[]", nPlanes)} AS bkt
+       |      FROM embeddings),
+       |ok AS (SELECT bkt FROM b GROUP BY bkt
+       |       HAVING count(*) BETWEEN 2 AND ${Dedup.MaxEmbBucketForPairs}),
+       |n AS (SELECT vec_id, bkt, $NormE AS v FROM b JOIN ok USING (bkt))
+       |SELECT l.vec_id AS a, r.vec_id AS b,
+       |  floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 AS cos
+       |FROM n l JOIN n r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
+       |WHERE floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin
 }

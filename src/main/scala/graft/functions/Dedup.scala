@@ -172,17 +172,36 @@ object Dedup {
     * Hamming distance 3 share at least one exact sub-key (pigeonhole),
     * so candidate generation is again a bucket join, then exact
     * Hamming verification.
+    *
+    * Bucket-bounded like the jaccard path: each band gives at most
+    * 65,536 keys, so WITHOUT a cap bucket occupancy grows linearly with
+    * corpus size and the self-join generates O(N²/65536) candidate pairs
+    * — ~10¹³ at 10⁹ docs. Buckets with more than `maxBucket` members are
+    * degenerate for near-dup detection (they hold boilerplate/template
+    * mass, not pairwise near-dups) and are dropped, exactly as in
+    * [[ngramJaccardPairs]]; the same `ok` aggregation also prunes
+    * singleton buckets before the join, so the join input is only the
+    * 2..maxBucket-member buckets.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = MaxBucketForPairs): DataFrame = {
     val hashed = df.select(col(idCol).as("id"),
       Expressions.simhash64(TextFunctions.normText(col(textCol))).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "key")))
-    val l = banded.toDF("a", "sh_a", "band", "key")
-    val r = banded.toDF("b", "sh_b", "band", "key")
+    // both the aggregation and the self-join shuffle on (band, key), so
+    // AQE reuses one exchange of the banded relation
+    val ok = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select(col("band"), col("key"))
+    val kept = banded.join(ok, Seq("band", "key"))
+    val l = kept.select(col("band"), col("key"),
+      col("id").as("a"), col("sh").as("sh_a"))
+    val r = kept.select(col("band"), col("key"),
+      col("id").as("b"), col("sh").as("sh_b"))
     l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
@@ -194,20 +213,55 @@ object Dedup {
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates bucketed
     * by a coarse partition key (`bucketCol`, e.g. a cluster/LSH label)
     * so the self-join is bucket-local.
+    *
+    * Bucket occupancy is capped like every other pair generator here:
+    * a caller-supplied bucket key carries no occupancy guarantee (a
+    * 256-bucket sign-LSH over 10⁹ vectors is O(N²/256) pairs — quadratic
+    * at any real corpus size), so buckets holding more than `maxBucket`
+    * members are dropped before the join. Size the bucketing itself so
+    * real near-dup clusters stay under the cap: for sign-LSH that means
+    * nPlanes ≈ log₂(N) (see [[lshNearDups]]).
     */
+  /** Embedding pair verification is a codegen'd dot product (~100 ns),
+    * ~100× cheaper than a shingle-set intersection, so the embedding
+    * cap can sit higher than the text cap while still bucket-bounding
+    * the join (≤ 256²/2 ≈ 33k dots per bucket). */
+  val MaxEmbBucketForPairs = 256
+
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-      bucketCol: String, threshold: Double): DataFrame = {
+      bucketCol: String, threshold: Double,
+      maxBucket: Int = MaxEmbBucketForPairs): DataFrame = {
     val v = Ann.withNormalized(
         df.select(col(idCol).as("id"), col(bucketCol).as("bkt"),
           col(vecCol).as("_emb")),
         "_emb", "v")
       .select(col("id"), col("bkt"), col("v"))
-    val l = v.toDF("a", "bkt", "va")
-    val r = v.toDF("b", "bkt", "vb")
+    val ok = v.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select(col("bkt"))
+    val kept = v.join(ok, "bkt")
+    val l = kept.select(col("bkt"), col("id").as("a"), col("v").as("va"))
+    val r = kept.select(col("bkt"), col("id").as("b"), col("v").as("vb"))
     l.join(r, "bkt")
       .filter(col("a") < col("b"))
       .withColumn("cos", Ann.round4(Ann.dot(col("va"), col("vb"))))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Self-contained embedding near-dup scale path: bucket by an
+    * `nPlanes`-bit sign-LSH computed from the vectors themselves, then
+    * bucket-local capped pairs. Size `nPlanes` ≈ log₂(N): expected
+    * occupancy N/2^nPlanes stays O(1), so pair generation is linear in
+    * corpus size (16-24 planes at 10⁶-10⁹ vectors). The occupancy cap
+    * still backstops skewed buckets (near-identical embedding mass).
+    */
+  def lshNearDups(df: DataFrame, vecCol: String, idCol: String,
+      nPlanes: Int, dim: Int, threshold: Double,
+      maxBucket: Int = MaxEmbBucketForPairs): DataFrame = {
+    val bucketed = Ann.withLshBucket(df, vecCol,
+      Ann.hyperplanes(nPlanes, dim), "_graft_lshb")
+    embeddingNearDups(bucketed, vecCol, idCol, "_graft_lshb", threshold,
+      maxBucket)
   }
 }

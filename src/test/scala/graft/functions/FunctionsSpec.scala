@@ -259,4 +259,63 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
     assert(pairs.head.getDouble(2) == 1.0)
   }
+
+  test("simhash pairs never emit from a bucket larger than the cap") {
+    // 100 identical docs share ALL four band keys → every one of their
+    // buckets exceeds the 64 cap → zero pairs among them; an unrelated
+    // near-dup pair in small buckets still verifies
+    val template = "boilerplate footer text repeated across the whole " +
+      "corpus exactly the same every time with many words"
+    val other = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = (1L to 100L).map(i => (i, template)) ++
+      Seq((200L, other), (201L, other + " phi"))
+    val df = docs.toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((200L, 201L)),
+      s"only the small-bucket pair survives, got ${capped.size} pairs")
+    // same data, cap lifted: the template mass pairs quadratically —
+    // proving the cap (not the hamming filter) is what bounded the join
+    val uncapped = Dedup.simhashPairs(df, "text", "doc_id",
+      maxHamming = 10, maxBucket = 200).count()
+    assert(uncapped == 100L * 99 / 2 + 1)
+  }
+
+  test("embedding near-dup pairs are occupancy-capped per bucket") {
+    // bucket "mega" holds 300 identical vectors (> 256 cap) → dropped;
+    // bucket "ok" holds 2 near-identical vectors → pair survives
+    val mega = (1L to 300L).map(i => (i, "mega", Array(1.0f, 0.0f)))
+    val small = Seq((400L, "ok", Array(0.6f, 0.8f)),
+      (401L, "ok", Array(0.6f, 0.81f)))
+    val df = (mega ++ small).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "embedding", "vec_id",
+      "label", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((400L, 401L)))
+    // cap lifted: the mega bucket floods the join quadratically
+    assert(Dedup.embeddingNearDups(df, "embedding", "vec_id", "label",
+      threshold = 0.9, maxBucket = 1000).count() == 300L * 299 / 2 + 1)
+  }
+
+  test("lshNearDups pair count is bounded by bucket occupancy") {
+    val planes = 6
+    val vecs = (0L until 200L).map { i =>
+      val angle = (i % 50).toDouble / 50 * math.Pi * 2
+      (i, Array.tabulate(8)(d =>
+        (math.cos(angle + d) * 100).toFloat / 100))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cap = 16
+    val n = Dedup.lshNearDups(df, "embedding", "vec_id",
+      nPlanes = planes, dim = 8, threshold = -1.0, maxBucket = cap).count()
+    // with threshold -1 EVERY in-bucket pair is emitted, so the count is
+    // exactly the sum of C(n_b, 2) over surviving buckets — each ≤ C(cap, 2)
+    val occ = graft.functions.Ann.withLshBucket(df, "embedding",
+      Ann.hyperplanes(planes, 8), "b")
+      .groupBy("b").count().collect()
+      .map(_.getLong(1)).filter(c => c >= 2 && c <= cap)
+    assert(n == occ.map(c => c * (c - 1) / 2).sum,
+      "pairs come from capped buckets only")
+  }
 }
