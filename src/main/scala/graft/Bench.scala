@@ -2,9 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: every SparkEntry query once (count() action)
-  * plus the extraction-throughput headline (turns/sec — the BASELINE
-  * metric). Emits ONE JSON line.
+/** Driver-run benchmark: every SparkEntry query (count() action) plus
+  * the extraction-throughput headline (turns/sec — the BASELINE metric).
+  * Emits ONE JSON line on stdout AND writes it to BENCH/last_bench.json.
+  *
+  * Noise robustness: this host is shared — round 2's single-rep design
+  * booked a ~4-minute external-load window onto five healthy queries
+  * (the artifact claimed 166 s for a query that runs in 2.8 s). Every
+  * query is therefore timed as the MIN of 2 reps after the full warmup
+  * pass, with a third tie-breaker rep when the two reps disagree by
+  * more than 2× (the signature of an external-load hit).
   */
 object Bench {
 
@@ -34,9 +41,19 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // min of 2 reps; >2× disagreement (external load hit one rep) →
+      // one tie-breaker rep, still min
+      val (t1, t2) = (once(), once())
+      val best = math.min(t1, t2)
+      val t = if (best > 0.3 && math.max(t1, t2) > 2 * best)
+        math.min(best, once())
+      else best
+      name -> t
     }
 
     // headline: extraction throughput on a transcript table sized ~150k
@@ -47,13 +64,24 @@ object Bench {
       else if (sfDir.contains("0.01")) 500
       else 20000
     timeExtract(spark, math.max(nConvs / 4, 50))
-    val (turns, extractSec) = timeExtract(spark, nConvs)
+    val r1 = timeExtract(spark, nConvs)
+    val r2 = timeExtract(spark, nConvs)
+    val (turns, extractSec) = if (r1._2 <= r2._2) r1 else r2
     val turnsPerSec = if (extractSec > 0) turns / extractSec else 0.0
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + extractSec
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$turns%.0f,"extract_sec":$extractSec%.3f,"turns_per_sec":$turnsPerSec%.1f}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$turns%.0f,"extract_sec":$extractSec%.3f,"turns_per_sec":$turnsPerSec%.1f,"timing":"min_of_2_reps_after_warmup"}"""
+    println(json)
+    // machine-readable copy: sbt's logger prefixes stdout lines, so the
+    // driver's parser also gets a clean file to read
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH/last_bench.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 
