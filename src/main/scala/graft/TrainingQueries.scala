@@ -86,6 +86,13 @@ object TrainingQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
         n = 3, threshold = 0.2, K, R)),
 
+    // the 100 TB shuffle lever of q31: shingles ride the exchange as
+    // 8-byte FNV-1a longs instead of n-gram text — identical Jaccard up
+    // to 2^-64 collisions (the oracle hashes its grams the same way)
+    "q45_jaccard_pairs_hashed" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
+        n = 3, threshold = 0.2, K, R, hashShingles = true)),
+
     "q32_embedding_neardups" -> ((s, dir) =>
       Dedup.embeddingNearDups(embs(s, dir), "embedding", "vec_id",
         "label", threshold = 0.2)),
@@ -373,32 +380,9 @@ object TrainingQueries {
         |SELECT vec_id, floor(list_dot_product(v, q) * 10000 + 0.5) / 10000 AS cos
         |FROM n, qn ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q31_jaccard_pairs" -> {
-      val bands = (0 until K / R).map(b =>
-        s"SELECT doc_id, $b AS band, ${bandKeyExpr(b)} AS band_key FROM sig")
-        .mkString(" UNION ALL ")
-      s"""WITH sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS s FROM documents),
-         |bk AS ($bands),
-         |ok AS (
-         |  SELECT band, band_key FROM bk GROUP BY band, band_key
-         |  HAVING count(*) BETWEEN 2 AND 64),
-         |pairs AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bk l
-         |  JOIN ok USING (band, band_key)
-         |  JOIN bk r ON l.band = r.band AND l.band_key = r.band_key
-         |  WHERE l.doc_id < r.doc_id),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(
-         |    list_zip(t[1:-3], t[2:-2], t[3:-1]),
-         |    x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS g
-         |  FROM (SELECT doc_id, $TOK AS t FROM documents) tt),
-         |j AS (SELECT a, b,
-         |    len(list_intersect(sa.g, sb.g))::DOUBLE AS inter,
-         |    (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g)))::DOUBLE AS uni
-         |  FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
-         |SELECT a, b, floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 AS jaccard
-         |FROM j WHERE floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin
-    },
+    "q31_jaccard_pairs" -> jaccardPairsSql(hashed = false),
+
+    "q45_jaccard_pairs_hashed" -> jaccardPairsSql(hashed = true),
 
     "q19_term_freq" ->
       s"""SELECT tok, count(*) AS cnt FROM (
@@ -512,6 +496,41 @@ object TrainingQueries {
          |  JOIN n r ON l.label = r.label AND l.vec_id < r.vec_id
          |WHERE floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin
   )
+
+  /** LSH-candidate + exact n-gram Jaccard oracle (q31/q45). With
+    * `hashed`, each 3-gram is FNV-1a-hashed to a 64-bit value (HUGEINT
+    * mod 2^64 — set-isomorphic to the engine's signed longs, so
+    * intersection sizes match exactly) before the set comparison. */
+  private def jaccardPairsSql(hashed: Boolean): String = {
+    val bands = (0 until K / R).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKeyExpr(b)} AS band_key FROM sig")
+      .mkString(" UNION ALL ")
+    val grams =
+      """list_transform(list_zip(t[1:-3], t[2:-2], t[3:-1]),
+        |    x -> x[1] || ' ' || x[2] || ' ' || x[3])""".stripMargin
+    val shingleExpr =
+      if (hashed) s"list_distinct(list_transform($grams, g -> ${fnvSql("g")}))"
+      else s"list_distinct($grams)"
+    s"""WITH sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS s FROM documents),
+       |bk AS ($bands),
+       |ok AS (
+       |  SELECT band, band_key FROM bk GROUP BY band, band_key
+       |  HAVING count(*) BETWEEN 2 AND 64),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bk l
+       |  JOIN ok USING (band, band_key)
+       |  JOIN bk r ON l.band = r.band AND l.band_key = r.band_key
+       |  WHERE l.doc_id < r.doc_id),
+       |sh AS (SELECT doc_id, $shingleExpr AS g
+       |  FROM (SELECT doc_id, $TOK AS t FROM documents) tt),
+       |j AS (SELECT a, b,
+       |    len(list_intersect(sa.g, sb.g))::DOUBLE AS inter,
+       |    (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g)))::DOUBLE AS uni
+       |  FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
+       |SELECT a, b, floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 AS jaccard
+       |FROM j WHERE floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin
+  }
 
   /** Sign-LSH near-dup oracle with the occupancy cap mirrored
     * (HAVING BETWEEN 2 AND cap, as in the Spark `ok` aggregation). */

@@ -84,15 +84,18 @@ object Dedup {
     * surviving in several bands yields identical (a, b, jaccard) rows,
     * deduped at the end (tiny — only survivors).
     *
-    * Further scale lever (not taken, to keep the DuckDB oracle exact on
-    * string shingles): hash each shingle to a 64-bit long before the
-    * shuffle — 8 bytes per shingle instead of the n-gram text, identical
-    * Jaccard up to hash collisions (~2^-64 per comparison).
+    * `hashShingles = true` is the further scale lever: each shingle is
+    * FNV-1a-hashed to a 64-bit long BEFORE the shuffle — 8 bytes per
+    * shingle instead of the n-gram text (~3-5× less shuffle volume at
+    * 3-grams), identical Jaccard up to hash collisions (~2⁻⁶⁴ per
+    * comparison). Oracle-pinned by q45 (the DuckDB side hashes its
+    * grams with the same FNV arithmetic).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.7,
       k: Int = 16, rows: Int = 4,
-      maxBucket: Int = MaxBucketForPairs): DataFrame = {
+      maxBucket: Int = MaxBucketForPairs,
+      hashShingles: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val idType = df.schema(idCol).dataType
@@ -104,42 +107,61 @@ object Dedup {
     // null-text docs would otherwise "verify" at jaccard 1.0; dropping
     // null-toks/null-id rows BEFORE the group stage reproduces the old
     // declarative path's silent null-jaccard exclusion.
-    val banded = df
+    val staged = df
       .select(col(idCol).cast("string").as("id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(col("id").isNotNull && col("toks").isNotNull)
       .select(col("id"),
-        TextFunctions.shinglesFromTokens(col("toks"), n).as("sh"),
+        TextFunctions.shinglesFromTokens(col("toks"), n).as("sh_raw"),
         TextFunctions.minhashSigFromTokens(array_distinct(col("toks")), k)
           .as("sig"))
-      .select(col("id"), col("sh"),
+    def banded(shCol: org.apache.spark.sql.Column) = staged
+      .select(col("id"), shCol.as("sh"),
         posexplode(TextFunctions.bandKeysFromSig(col("sig"), k, rows))
           .as(Seq("band", "band_key")))
-      .as[(String, Seq[String], Int, String)]
-    banded
-      .groupByKey { case (_, _, band, key) => (band, key) }
-      .flatMapGroups { (_: (Int, String), members: Iterator[(String, Seq[String], Int, String)]) =>
-        // mega-buckets (> maxBucket) are degenerate — drop, as in the
-        // declarative path; cap the materialized group first
-        val docs = members.take(maxBucket + 1).toArray
-        if (docs.length < 2 || docs.length > maxBucket) Iterator.empty
-        else {
-          val sorted = docs.sortBy(_._1)(ord)
-          val sets = sorted.map(d => d._2.toSet)
-          for {
-            i <- sorted.indices.iterator
-            j <- (i + 1 until sorted.length).iterator
-            inter = (sets(i) & sets(j)).size.toDouble
-            uni = (sets(i).size + sets(j).size - inter)
-            jac = math.floor((if (uni > 0) inter / uni else 0.0) * 10000 + 0.5) / 10000
-            if jac >= threshold
-          } yield (sorted(i)._1, sorted(j)._1, jac)
-        }
-      }
+    val pairs =
+      if (hashShingles)
+        banded(transform(col("sh_raw"), s => Expressions.fnv1a64(s)))
+          .as[(String, Seq[Long], Int, String)]
+          .groupByKey { case (_, _, band, key) => (band, key) }
+          .flatMapGroups { (_: (Int, String), m: Iterator[(String, Seq[Long], Int, String)]) =>
+            bucketPairs(m, maxBucket, threshold, ord)
+          }
+      else
+        banded(col("sh_raw"))
+          .as[(String, Seq[String], Int, String)]
+          .groupByKey { case (_, _, band, key) => (band, key) }
+          .flatMapGroups { (_: (Int, String), m: Iterator[(String, Seq[String], Int, String)]) =>
+            bucketPairs(m, maxBucket, threshold, ord)
+          }
+    pairs
       .toDF("a", "b", "jaccard")
       .distinct()
       .select(col("a").cast(idType).as("a"), col("b").cast(idType).as("b"),
         col("jaccard"))
+  }
+
+  /** In-bucket candidate generation + exact Jaccard verification over
+    * one LSH bucket's members, generic in the shingle element type.
+    * Mega-buckets (> maxBucket) are degenerate — dropped, as in the
+    * declarative path; the group is capped BEFORE materializing. */
+  private def bucketPairs[T](members: Iterator[(String, Seq[T], Int, String)],
+      maxBucket: Int, threshold: Double,
+      ord: Ordering[String]): Iterator[(String, String, Double)] = {
+    val docs = members.take(maxBucket + 1).toArray
+    if (docs.length < 2 || docs.length > maxBucket) Iterator.empty
+    else {
+      val sorted = docs.sortBy(_._1)(ord)
+      val sets = sorted.map(d => d._2.toSet)
+      for {
+        i <- sorted.indices.iterator
+        j <- (i + 1 until sorted.length).iterator
+        inter = (sets(i) & sets(j)).size.toDouble
+        uni = (sets(i).size + sets(j).size - inter)
+        jac = math.floor((if (uni > 0) inter / uni else 0.0) * 10000 + 0.5) / 10000
+        if jac >= threshold
+      } yield (sorted(i)._1, sorted(j)._1, jac)
+    }
   }
 
   /** Pair-ordering for ids that rode the group stage as strings: must

@@ -260,6 +260,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("hashed-shingle jaccard matches the string-shingle path exactly") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq((1L, base), (2L, base + " phi"), (3L, base + " phi chi"),
+      (4L, "entirely different words that share no grams at all here"))
+      .toDF("doc_id", "text")
+    def run(hash: Boolean) =
+      Dedup.ngramJaccardPairs(df, "text", "doc_id",
+        n = 3, threshold = 0.1, hashShingles = hash)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val str = run(false)
+    assert(str.nonEmpty)
+    assert(run(true) == str,
+      "8-byte hashed shingles give identical pairs and jaccard values")
+  }
+
   test("simhash pairs never emit from a bucket larger than the cap") {
     // 100 identical docs share ALL four band keys → every one of their
     // buckets exceeds the 64 cap → zero pairs among them; an unrelated
