@@ -82,6 +82,17 @@ object TrainingQueries {
     "q30_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 16)),
 
+    // the operator's REAL operating point: Hamming ≤ 3 (the pigeonhole
+    // bound of the 4×16-bit banding). The synthetic documents table has
+    // no true near-dups, so q30's maxHamming=16 verifies plumbing only;
+    // this runs over a frozen corpus with PLANTED variants at distance
+    // 1..3 (FixtureGen.neardupDocs) — the survivor set is actual
+    // near-dups, recomputed from text on both sides
+    "q47_simhash_neardups" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        s.read.parquet(graft.fixtures.FixtureGen.NearDupDocsPath),
+        "text", "doc_id", maxHamming = 3)),
+
     "q31_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
         n = 3, threshold = 0.2, K, R)),
@@ -146,6 +157,17 @@ object TrainingQueries {
     "q38_ivf_ann" -> ((s, dir) =>
       Ann.ivfTopK(embs(s, dir), "embedding", "vec_id",
         queryVec(s, dir), 10)),
+
+    // the scale-parameterized IVF operating point: nCentroids = ⌈√N⌉
+    // (the standard balance between cell-scan cost and probe fan-out) —
+    // the oracle recomputes the same ⌈√N⌉ via a scalar subquery in its
+    // LIMIT, so the dial is exercised, not pinned
+    "q46_ivf_sqrt" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val nc = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      Ann.ivfTopK(e, "embedding", "vec_id", queryVec(s, dir), 10,
+        nCentroids = nc)
+    }),
 
     // BPE-ish regex token counting (letters / digits / punct runs) —
     // the subword-style counterpart of whitespace q20
@@ -247,8 +269,8 @@ object TrainingQueries {
 
   /** Unsigned 64-bit SimHash of every doc (empty docs → 0), as a WITH
     * prefix ending in a `shu(doc_id, u UBIGINT)` relation. */
-  private def simhashCte: String =
-    s"""WITH n AS (SELECT doc_id, $NORM AS nt FROM documents),
+  private def simhashCte(from: String = "documents"): String =
+    s"""WITH n AS (SELECT doc_id, $NORM AS nt FROM $from),
        |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS t FROM n),
        |th AS (SELECT doc_id, ${fnvSql("t")}::UBIGINT AS h
        |       FROM tok WHERE t <> ''),
@@ -391,30 +413,17 @@ object TrainingQueries {
          |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".stripMargin,
 
     "q29_simhash" ->
-      s"""$simhashCte,
+      s"""${simhashCte()},
          |f AS (SELECT doc_id, ${fnvSql("nt")} AS h FROM n)
          |SELECT shu.doc_id, ${toSigned("shu.u::HUGEINT")} AS sh,
          |       ${toSigned("f.h")} AS fnv
          |FROM shu JOIN f USING (doc_id)""".stripMargin,
 
-    "q30_simhash_pairs" ->
-      s"""$simhashCte,
-         |bands AS (
-         |  SELECT doc_id, b, (u >> (b*16)) & 65535 AS key
-         |  FROM shu, range(4) r(b)),
-         |ok AS (
-         |  SELECT b, key FROM bands GROUP BY b, key
-         |  HAVING count(*) BETWEEN 2 AND ${Dedup.MaxBucketForPairs}),
-         |p AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bands l
-         |  JOIN ok USING (b, key)
-         |  JOIN bands r ON l.b = r.b AND l.key = r.key
-         |  WHERE l.doc_id < r.doc_id)
-         |SELECT p.a, p.b, CAST(bit_count(xor(la.u, lb.u)) AS INT) AS hamming
-         |FROM p JOIN shu la ON la.doc_id = p.a
-         |       JOIN shu lb ON lb.doc_id = p.b
-         |WHERE bit_count(xor(la.u, lb.u)) <= 16""".stripMargin,
+    "q30_simhash_pairs" -> simhashPairsSql("documents", maxHamming = 16),
+
+    "q47_simhash_neardups" -> simhashPairsSql(
+      s"read_parquet('${graft.fixtures.FixtureGen.NearDupDocsPath}')",
+      maxHamming = 3),
 
     "q33_lsh_ann" ->
       s"""WITH q0 AS (
@@ -434,32 +443,10 @@ object TrainingQueries {
          |SELECT vec_id, floor(list_dot_product(v, q) * 10000 + 0.5) / 10000 AS cos
          |FROM nn, qn ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q38_ivf_ann" ->
-      s"""WITH cents AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
-         |         embedding::DOUBLE[] AS c
-         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-         |q0 AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
-         |probes AS (
-         |  SELECT cidx FROM cents, q0
-         |  ORDER BY ${l2sqSql("c", "e")}, cidx LIMIT 4),
-         |dists AS (
-         |  SELECT v.vec_id, c.cidx, ${l2sqSql("v.e", "c.c")} AS dist
-         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v,
-         |       cents c),
-         |cells AS (
-         |  SELECT vec_id, cidx AS cell FROM (
-         |    SELECT vec_id, cidx,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
-         |    FROM dists) WHERE rn = 1),
-         |cand AS (
-         |  SELECT e2.vec_id, e2.embedding::DOUBLE[] AS e
-         |  FROM embeddings e2 JOIN cells ON cells.vec_id = e2.vec_id
-         |  WHERE cells.cell IN (SELECT cidx FROM probes)),
-         |qn AS (SELECT $NormE AS q FROM q0),
-         |nn AS (SELECT vec_id, $NormE AS v FROM cand)
-         |SELECT vec_id, floor(list_dot_product(v, q) * 10000 + 0.5) / 10000 AS cos
-         |FROM nn, qn ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q38_ivf_ann" -> ivfSql("16"),
+
+    "q46_ivf_sqrt" -> ivfSql(
+      "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"),
 
     "q34_media_meta" ->
       """SELECT asset_id, kind, width, height, sample_rate, n_frames,
@@ -496,6 +483,58 @@ object TrainingQueries {
          |  JOIN n r ON l.label = r.label AND l.vec_id < r.vec_id
          |WHERE floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin
   )
+
+  /** IVF ANN oracle (q38/q46): deterministic lowest-id centroids (count
+    * given as a LIMIT expression — a literal for the pinned 16, a scalar
+    * subquery for ⌈√N⌉), L2 cell assignment, 4-probe exact rescan. */
+  private def ivfSql(centLimit: String): String =
+    s"""WITH cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+       |         embedding::DOUBLE[] AS c
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $centLimit)),
+       |q0 AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cidx FROM cents, q0
+       |  ORDER BY ${l2sqSql("c", "e")}, cidx LIMIT 4),
+       |dists AS (
+       |  SELECT v.vec_id, c.cidx, ${l2sqSql("v.e", "c.c")} AS dist
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v,
+       |       cents c),
+       |cells AS (
+       |  SELECT vec_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |cand AS (
+       |  SELECT e2.vec_id, e2.embedding::DOUBLE[] AS e
+       |  FROM embeddings e2 JOIN cells ON cells.vec_id = e2.vec_id
+       |  WHERE cells.cell IN (SELECT cidx FROM probes)),
+       |qn AS (SELECT $NormE AS q FROM q0),
+       |nn AS (SELECT vec_id, $NormE AS v FROM cand)
+       |SELECT vec_id, floor(list_dot_product(v, q) * 10000 + 0.5) / 10000 AS cos
+       |FROM nn, qn ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Banded simhash near-dup oracle (q30/q47): 4×16-bit band candidate
+    * buckets (occupancy-capped like the Spark side), exact Hamming
+    * verification at `maxHamming`. */
+  private def simhashPairsSql(from: String, maxHamming: Int): String =
+    s"""${simhashCte(from)},
+       |bands AS (
+       |  SELECT doc_id, b, (u >> (b*16)) & 65535 AS key
+       |  FROM shu, range(4) r(b)),
+       |ok AS (
+       |  SELECT b, key FROM bands GROUP BY b, key
+       |  HAVING count(*) BETWEEN 2 AND ${Dedup.MaxBucketForPairs}),
+       |p AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l
+       |  JOIN ok USING (b, key)
+       |  JOIN bands r ON l.b = r.b AND l.key = r.key
+       |  WHERE l.doc_id < r.doc_id)
+       |SELECT p.a, p.b, CAST(bit_count(xor(la.u, lb.u)) AS INT) AS hamming
+       |FROM p JOIN shu la ON la.doc_id = p.a
+       |       JOIN shu lb ON lb.doc_id = p.b
+       |WHERE bit_count(xor(la.u, lb.u)) <= $maxHamming""".stripMargin
 
   /** LSH-candidate + exact n-gram Jaccard oracle (q31/q45). With
     * `hashed`, each 3-gram is FNV-1a-hashed to a 64-bit value (HUGEINT

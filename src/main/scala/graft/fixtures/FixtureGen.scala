@@ -39,6 +39,7 @@ object FixtureGen {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(FixtureDir))
     writeSingle(goldenExtract(spark), s"$FixtureDir/golden_extract_sf001.parquet")
+    writeSingle(neardupDocs(spark), NearDupDocsPath)
     writeSingle(mediaMeta(spark), s"$FixtureDir/media_meta_500.parquet")
     writeSingle(mediaFeatures(spark), s"$FixtureDir/media_features_500.parquet")
     writeSingle(mediaFrames(spark), s"$FixtureDir/media_frames_500.parquet")
@@ -78,6 +79,64 @@ object FixtureGen {
         }
       }
       .toDF("conv_id", "turn_idx", "payload_kind", "extracted_text", "n_spans")
+  }
+
+  // --- planted SimHash near-dups ------------------------------------------
+
+  val NearDupDocsPath = s"$FixtureDir/neardup_docs.parquet"
+
+  /** Corpus with PLANTED near-duplicates at the operator's real
+    * operating regime (Hamming ≤ 3 of 64 simhash bits): 300 base docs of
+    * 60-123 random vocab tokens, and for every even-indexed base a
+    * variant with exactly one token substituted, accepted only when the
+    * substitution lands the pair at Hamming distance 1..3 (one token in
+    * a ~90-token doc usually flips 0-6 bits; the accept-reject makes the
+    * planted distance exact and deterministic). The synthetic testdata
+    * has no true near-dups — q30's maxHamming=16 run verifies plumbing
+    * on it, q47 verifies the ≤3-bit semantics the operator exists for,
+    * against this frozen corpus (the DuckDB oracle recomputes simhash
+    * from the text independently; the generator's use of the kernel only
+    * SHAPES the data, it decides no expected value).
+    *
+    * Texts are lowercase single-space ASCII, so normText is the identity
+    * and the planted distances are exactly what the query sees.
+    */
+  def neardupDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    def sim(text: String): Long =
+      graft.functions.HashKernels.simhash64(UTF8String.fromString(text))
+    // 65,536-word vocab: a small shared vocab (512) makes per-bit token
+    // hash distributions skew the same way in EVERY doc — simhash bands
+    // then cluster into mega-buckets (99 docs on one 16-bit key observed)
+    // and unrelated docs land within 3 bits of each other; 64k words
+    // decorrelate the signatures so the planted pairs are the ONLY ≤3-bit
+    // neighbors and band occupancy stays tiny
+    val vocab = Array.tabulate(65536)(i => f"w$i%04x")
+    def word(h: Long): String = vocab((h & 0xffff).toInt)
+    val rows = (0 until 300).flatMap { i =>
+      val len = 60 + (mix(1000L + i) & 63).toInt
+      val base = Array.tabulate(len)(j => word(mix(i * 7919L + j)))
+      val baseText = base.mkString(" ")
+      val baseRow = (f"b$i%03d", baseText)
+      if (i % 2 != 0) Seq(baseRow)
+      else {
+        val h0 = sim(baseText)
+        val variant = (0 until 64).iterator.flatMap { s =>
+          val pos = ((mix(i * 104729L + s) >>> 8) % len).toInt
+          val repl = word(mix(i * 15485863L + s))
+          if (repl == base(pos)) Iterator.empty
+          else {
+            val v = base.clone(); v(pos) = repl
+            val t = v.mkString(" ")
+            val d = java.lang.Long.bitCount(h0 ^ sim(t))
+            if (d >= 1 && d <= 3) Iterator((f"v$i%03d", t)) else Iterator.empty
+          }
+        }.take(1).toSeq
+        baseRow +: variant
+      }
+    }
+    rows.toDF("doc_id", "text")
   }
 
   // --- multimodal expectations from synth parameters ---------------------

@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 /** Deduplication operators for the training-data pipeline. All are
   * shuffle-on-key group/join shapes — no pairwise O(n²) stage ever
@@ -10,6 +11,36 @@ import org.apache.spark.sql.functions._
   * operator here survives a 100× scale-up.
   */
 object Dedup {
+
+  /** Mega-bucket drops are a silent coverage cap unless disclosed: at
+    * corpus scale the dropped mass is exactly the boilerplate/template
+    * clusters a user might expect dedup to catch. Each pair generator
+    * can account its drops — the declarative generators (simhash,
+    * embedding) through a named [[Observation]] (exact, filled by the
+    * same action that runs the query, no extra scan), the flatMapGroups
+    * jaccard path through task-side accumulators (at-least-once under
+    * task retries — a metrics caveat, not a correctness one).
+    * [[graft.pipeline.DedupJob]] turns either into a metrics-table row.
+    */
+  final case class BucketAccounting(megaBucketsDropped: LongAccumulator,
+      docsInMegaBuckets: LongAccumulator)
+
+  object BucketAccounting {
+    def apply(spark: SparkSession): BucketAccounting = BucketAccounting(
+      spark.sparkContext.longAccumulator("graft.dedup.mega_buckets_dropped"),
+      spark.sparkContext.longAccumulator("graft.dedup.docs_in_mega_buckets"))
+  }
+
+  /** The three observation metrics every declarative generator emits:
+    * candidate-bucket count, mega-buckets dropped, rows inside them. */
+  private def observeBuckets(counts: DataFrame, stats: Option[Observation],
+      maxBucket: Int): DataFrame =
+    stats.fold(counts)(o => counts.observe(o,
+      count(lit(1)).as("buckets"),
+      sum(when(col("n") > maxBucket, 1L).otherwise(0L))
+        .as("mega_buckets_dropped"),
+      sum(when(col("n") > maxBucket, col("n")).otherwise(0L))
+        .as("docs_in_mega_buckets")))
 
   /** THE DEFAULT exact-dedup path: group by the 128-bit md5 fingerprint
     * of the canonical text instead of the text itself — the shuffle
@@ -95,7 +126,8 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.7,
       k: Int = 16, rows: Int = 4,
       maxBucket: Int = MaxBucketForPairs,
-      hashShingles: Boolean = false): DataFrame = {
+      hashShingles: Boolean = false,
+      stats: Option[BucketAccounting] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val idType = df.schema(idCol).dataType
@@ -125,14 +157,14 @@ object Dedup {
           .as[(String, Seq[Long], Int, String)]
           .groupByKey { case (_, _, band, key) => (band, key) }
           .flatMapGroups { (_: (Int, String), m: Iterator[(String, Seq[Long], Int, String)]) =>
-            bucketPairs(m, maxBucket, threshold, ord)
+            bucketPairs(m, maxBucket, threshold, ord, stats)
           }
       else
         banded(col("sh_raw"))
           .as[(String, Seq[String], Int, String)]
           .groupByKey { case (_, _, band, key) => (band, key) }
           .flatMapGroups { (_: (Int, String), m: Iterator[(String, Seq[String], Int, String)]) =>
-            bucketPairs(m, maxBucket, threshold, ord)
+            bucketPairs(m, maxBucket, threshold, ord, stats)
           }
     pairs
       .toDF("a", "b", "jaccard")
@@ -146,11 +178,19 @@ object Dedup {
     * Mega-buckets (> maxBucket) are degenerate — dropped, as in the
     * declarative path; the group is capped BEFORE materializing. */
   private def bucketPairs[T](members: Iterator[(String, Seq[T], Int, String)],
-      maxBucket: Int, threshold: Double,
-      ord: Ordering[String]): Iterator[(String, String, Double)] = {
+      maxBucket: Int, threshold: Double, ord: Ordering[String],
+      stats: Option[BucketAccounting] = None): Iterator[(String, String, Double)] = {
     val docs = members.take(maxBucket + 1).toArray
-    if (docs.length < 2 || docs.length > maxBucket) Iterator.empty
-    else {
+    if (docs.length < 2 || docs.length > maxBucket) {
+      if (docs.length > maxBucket) stats.foreach { acc =>
+        // drain the rest of the group (count only — nothing materializes)
+        // so the disclosure is the bucket's TRUE (doc, band) membership,
+        // not the truncated maxBucket+1 peek
+        acc.megaBucketsDropped.add(1L)
+        acc.docsInMegaBuckets.add(docs.length.toLong + members.size)
+      }
+      Iterator.empty
+    } else {
       val sorted = docs.sortBy(_._1)(ord)
       val sets = sorted.map(d => d._2.toSet)
       for {
@@ -206,7 +246,8 @@ object Dedup {
     * 2..maxBucket-member buckets.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = MaxBucketForPairs): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = MaxBucketForPairs,
+      stats: Option[Observation] = None): DataFrame = {
     val hashed = df.select(col(idCol).as("id"),
       Expressions.simhash64(TextFunctions.normText(col(textCol))).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
@@ -215,8 +256,9 @@ object Dedup {
         .as(Seq("band", "key")))
     // both the aggregation and the self-join shuffle on (band, key), so
     // AQE reuses one exchange of the banded relation
-    val ok = banded.groupBy(col("band"), col("key"))
+    val counts = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
+    val ok = observeBuckets(counts, stats, maxBucket)
       .filter(col("n") >= 2 && col("n") <= maxBucket)
       .select(col("band"), col("key"))
     val kept = banded.join(ok, Seq("band", "key"))
@@ -252,13 +294,15 @@ object Dedup {
 
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
       bucketCol: String, threshold: Double,
-      maxBucket: Int = MaxEmbBucketForPairs): DataFrame = {
+      maxBucket: Int = MaxEmbBucketForPairs,
+      stats: Option[Observation] = None): DataFrame = {
     val v = Ann.withNormalized(
         df.select(col(idCol).as("id"), col(bucketCol).as("bkt"),
           col(vecCol).as("_emb")),
         "_emb", "v")
       .select(col("id"), col("bkt"), col("v"))
-    val ok = v.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+    val counts = v.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+    val ok = observeBuckets(counts, stats, maxBucket)
       .filter(col("n") >= 2 && col("n") <= maxBucket)
       .select(col("bkt"))
     val kept = v.join(ok, "bkt")
@@ -280,10 +324,11 @@ object Dedup {
     */
   def lshNearDups(df: DataFrame, vecCol: String, idCol: String,
       nPlanes: Int, dim: Int, threshold: Double,
-      maxBucket: Int = MaxEmbBucketForPairs): DataFrame = {
+      maxBucket: Int = MaxEmbBucketForPairs,
+      stats: Option[Observation] = None): DataFrame = {
     val bucketed = Ann.withLshBucket(df, vecCol,
       Ann.hyperplanes(nPlanes, dim), "_graft_lshb")
     embeddingNearDups(bucketed, vecCol, idCol, "_graft_lshb", threshold,
-      maxBucket)
+      maxBucket, stats)
   }
 }

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import graft.functions.Dedup
+
+/** Runs a near-dup pair generator as a JOB and discloses its silent
+  * cap: every generator in [[graft.functions.Dedup]] drops candidate
+  * buckets above an occupancy cap (the 100-TB bound on the bucket-local
+  * self-join), and at corpus scale the dropped mass is exactly the
+  * boilerplate/template clusters a user might expect dedup to catch —
+  * so the drop counts land in a metrics table next to the run, the same
+  * never-throw discipline as [[ExtractionJob.run]]'s metrics row
+  * (reference analog: the run-summary notification that reports counts
+  * without failing the batch, SlackNotification.java:73-105).
+  *
+  * Metrics schema (`<tableRoot>/dedup_metrics`, append):
+  * (run_id, operator, pairs, buckets, mega_buckets_dropped,
+  * docs_in_mega_buckets, duration_sec). `buckets` is −1 for the
+  * flatMapGroups jaccard path (its accumulators see only dropped
+  * groups; bucket totals would need a second aggregation over the
+  * exchange) and its drop counts are at-least-once under task retries —
+  * a metrics caveat, not a correctness one.
+  */
+object DedupJob {
+
+  final case class DedupRunResult(runId: String, operator: String,
+      pairs: Long, buckets: Long, megaBucketsDropped: Long,
+      docsInMegaBuckets: Long, durationSec: Double)
+
+  /** simhash / embedding / lsh near-dups: exact observation-based
+    * accounting. The caller builds the pairs DataFrame against the
+    * provided Observation (e.g. `Dedup.simhashPairs(df, "text", "id",
+    * maxHamming = 3, stats = Some(obs))`). */
+  def runObserved(spark: SparkSession, tableRoot: String, operator: String,
+      build: Observation => DataFrame): DedupRunResult = {
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val obs = Observation(s"dedup-$runId")
+    val t0 = System.nanoTime()
+    val pairs = build(obs).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val row = obs.get
+    def m(k: String): Long =
+      row.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val res = DedupRunResult(runId, operator, pairs, m("buckets"),
+      m("mega_buckets_dropped"), m("docs_in_mega_buckets"), sec)
+    writeMetrics(spark, tableRoot, res)
+    res
+  }
+
+  /** ngramJaccardPairs: accumulator-based accounting (the bucket-local
+    * flatMapGroups path has no declarative aggregation to observe). */
+  def runJaccard(spark: SparkSession, tableRoot: String, operator: String,
+      build: Dedup.BucketAccounting => DataFrame): DedupRunResult = {
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val acc = Dedup.BucketAccounting(spark)
+    val t0 = System.nanoTime()
+    val pairs = build(acc).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val res = DedupRunResult(runId, operator, pairs, -1L,
+      acc.megaBucketsDropped.value, acc.docsInMegaBuckets.value, sec)
+    writeMetrics(spark, tableRoot, res)
+    res
+  }
+
+  /** NEVER throws — a metrics write failure must not mask the dedup
+    * run's real outcome (the ExtractionJob.writeMetrics contract). */
+  private def writeMetrics(spark: SparkSession, tableRoot: String,
+      r: DedupRunResult): Unit =
+    try {
+      import spark.implicits._
+      Seq((r.runId, r.operator, r.pairs, r.buckets, r.megaBucketsDropped,
+        r.docsInMegaBuckets, r.durationSec))
+        .toDF("run_id", "operator", "pairs", "buckets",
+          "mega_buckets_dropped", "docs_in_mega_buckets", "duration_sec")
+        .write.mode("append").parquet(s"$tableRoot/dedup_metrics")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] dedup metrics write failed for run ${r.runId} " +
+            s"(result preserved): ${e.getMessage}")
+    }
+}

@@ -104,6 +104,26 @@ class AnnSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("ivf with sqrt(N) centroids assigns every vector and still prunes") {
+    val q = embs.filter(col("vec_id") === 0)
+      .head().getSeq[Float](embs.columns.indexOf("embedding")).map(_.toDouble)
+    val n = embs.count()
+    val nc = math.ceil(math.sqrt(n.toDouble)).toInt
+    val ivf = Ann.ivfTopK(embs, "embedding", "vec_id", q, 10,
+      nCentroids = nc).collect()
+    assert(ivf.head.getLong(0) == 0L, "query vector in its own probed cell")
+    // cells still partition the corpus at the scaled centroid count
+    val cents = Ann.ivfCentroids(embs, "embedding", "vec_id", nc)
+    val celled = Ann.withIvfCell(embs, "embedding", cents, "c")
+    assert(celled.filter(col("c").isNull || col("c") < 1 || col("c") > nc)
+      .count() == 0)
+    // probe pruning is real: 4 of ⌈√N⌉ cells hold well under the corpus
+    val largest4 = celled.groupBy("c").count()
+      .orderBy(col("count").desc).limit(4)
+      .collect().map(_.getLong(1)).sum
+    assert(largest4 < n, "4-probe scan is a strict subset of the corpus")
+  }
+
   test("native ArrayDot/ArrayL2Sq are bit-identical to the HOF folds") {
     import spark.implicits._
     val df = spark.range(0, 200).select(
@@ -312,6 +332,31 @@ class DedupSpec extends SparkSpec {
     // cap lifted: the mega bucket floods the join quadratically
     assert(Dedup.embeddingNearDups(df, "embedding", "vec_id", "label",
       threshold = 0.9, maxBucket = 1000).count() == 300L * 299 / 2 + 1)
+  }
+
+  test("planted simhash near-dups at Hamming ≤3 are found exactly (q47)") {
+    // the operator's real operating regime: the fixture corpus plants a
+    // 1-token variant at simhash distance 1..3 for every even base doc;
+    // at maxHamming=3 the survivor set must be EXACTLY the planted pairs
+    // — completeness is the pigeonhole guarantee (≤3 differing bits over
+    // 4×16-bit bands ⇒ at least one band collides), soundness is that
+    // random 64-bit simhashes never land within 3 bits
+    val docs = graft.fixtures.FixtureGen.neardupDocs(spark)
+    val planted = docs.filter(col("doc_id").startsWith("v"))
+      .collect().map(_.getString(0).stripPrefix("v")).toSet
+    assert(planted.size == 150, "every even base doc got a variant")
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(pairs.map { case (a, b, _) => (a, b) }.toSet ==
+      planted.map(i => (s"b$i", s"v$i")),
+      "survivors are exactly the planted (base, variant) pairs")
+    assert(pairs.forall { case (_, _, h) => h >= 1 && h <= 3 },
+      "planted distances are in the 1..3 regime, never 0 (no exact dups)")
+    // the frozen fixture the q47 oracle reads must match the generator
+    val frozen = spark.read
+      .parquet(graft.fixtures.FixtureGen.NearDupDocsPath)
+    assert(frozen.exceptAll(docs).isEmpty && docs.exceptAll(frozen).isEmpty,
+      "fixtures/neardup_docs.parquet is stale — regenerate FixtureGen")
   }
 
   test("lshNearDups pair count is bounded by bucket occupancy") {
