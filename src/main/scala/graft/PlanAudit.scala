@@ -69,6 +69,16 @@ object PlanAudit {
       SparkEntry.queries("q31_jaccard_pairs")(spark, dir)
     }
 
+    show("simhash pairs (q30/q47 shape): banded self-join, occupancy-capped",
+      "Candidate generation is a (band, key) equi-join of the banded " +
+      "relation against its own 2..cap-occupancy bucket list — the " +
+      "shuffles are keyed by the 8-byte band key (id + two longs per " +
+      "row, never payload text: simhash64 reduces each doc before any " +
+      "Exchange), and AQE reuses the banded exchange between the " +
+      "occupancy aggregation and the join.") {
+      SparkEntry.queries("q30_simhash_pairs")(spark, dir)
+    }
+
     // ---- AQE skew-join evidence (SURVEY §4.2) --------------------------
     // The turns × conversation-dim join is the shape that skews at
     // 100 TB: join on conv_id alone, where one conversation can dwarf

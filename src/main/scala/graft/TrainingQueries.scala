@@ -54,6 +54,18 @@ object TrainingQueries {
     "q39_exact_dedup_fp" -> ((s, dir) =>
       Dedup.exactGroupsByFingerprint(docs(s, dir), "text", "doc_id")),
 
+    // the drop-list variant of exact dedup (everything but the keeper,
+    // fingerprint-keyed window). The sf tables are dup-free at the
+    // driver's sf, so both sides synthesize the same duplicates
+    // deterministically (every 10th doc re-inserted under id+100000) —
+    // the operator does real work instead of returning an empty set
+    "q49_exact_dropids" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val dupes = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      Dedup.exactDropIds(d.unionByName(dupes), "text", "doc_id")
+    }),
+
     "q26_minhash_sig" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
@@ -357,6 +369,17 @@ object TrainingQueries {
     "q39_exact_dedup_fp" ->
       s"""SELECT md5($NORM) AS fp, min(doc_id) AS keep_id,
          |  count(*) AS group_size FROM documents GROUP BY 1""".stripMargin,
+
+    "q49_exact_dropids" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 = 0)
+         |SELECT doc_id AS drop_id FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY md5($NORM) ORDER BY doc_id) AS rn
+         |  FROM all_docs) WHERE rn > 1""".stripMargin,
 
     "q37_bpe_tokens" ->
       """SELECT doc_id, len(regexp_extract_all(text,
