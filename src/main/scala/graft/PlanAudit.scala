@@ -47,9 +47,14 @@ object PlanAudit {
         .select(col("event_id"), col("ts"))
     }
 
-    show("lsh dedup (q27 shape): staged projects, single shuffle on band key",
+    show("lsh dedup (q27 shape): staged projects, occupancy-capped membership",
       "tokens → signature → band keys are separate Projects (no " +
-      "re-tokenization blowup); exactly one Exchange, keyed by band.") {
+      "re-tokenization blowup). Bucket COUNTS aggregate first " +
+      "(fixed-size buffers) and the 2..cap filter joins back before any " +
+      "collect_set runs — every membership buffer (partial included) is " +
+      "bounded by the cap, so no mega bucket can OOM a task; the banded " +
+      "relation shuffles once, the counts side is a tiny " +
+      "broadcast/reused exchange.") {
       SparkEntry.queries("q27_lsh_buckets")(spark, dir)
     }
 

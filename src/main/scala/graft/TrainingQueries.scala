@@ -408,7 +408,8 @@ object TrainingQueries {
          |bk AS ($bands)
          |SELECT band, band_key,
          |  string_agg(doc_id, ',' ORDER BY doc_id) AS ids, count(*) AS n
-         |FROM bk GROUP BY band, band_key HAVING count(*) > 1""".stripMargin
+         |FROM bk GROUP BY band, band_key
+         |HAVING count(*) > 1 AND count(*) <= ${Dedup.MaxBucketForPairs}""".stripMargin
     },
 
     "q28_cosine_topk" ->

@@ -78,23 +78,39 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup buckets: signature → band keys → explode →
-    * group by (band, key). Returns candidate buckets holding >1 doc —
-    * the scale path for near-dup detection (bucket-local verification
-    * replaces all-pairs). One shuffle on the band key.
+    * group by (band, key). Returns candidate buckets holding
+    * 2..maxBucket docs with their membership lists — the scale path for
+    * near-dup detection (bucket-local verification replaces all-pairs).
+    *
+    * Occupancy-bounded like every candidate stage in this family, and
+    * for an extra reason here: the membership list is a `collect_set`,
+    * a single in-memory aggregation buffer per bucket — on a mega
+    * bucket (boilerplate mass sharing one band key) that buffer grows
+    * with corpus size and OOMs the task. So counts aggregate FIRST
+    * (fixed-size buffers), the 2..maxBucket filter prunes via a join —
+    * broadcast when the surviving bucket list is small, else a reused
+    * exchange of the banded relation — and only surviving buckets' ids
+    * are collected, so every collect_set buffer (partial included) is
+    * bounded by maxBucket members.
     */
   def minhashLshBuckets(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 16, rows: Int = 4): DataFrame =
-    df.select(col(idCol),
+      k: Int = 16, rows: Int = 4,
+      maxBucket: Int = MaxBucketForPairs): DataFrame = {
+    val banded = df.select(col(idCol),
         array_distinct(TextFunctions.tokens(col(textCol))).as("toks"))
       .select(col(idCol),
         TextFunctions.minhashSigFromTokens(col("toks"), k).as("sig"))
       .select(col(idCol),
         posexplode(TextFunctions.bandKeysFromSig(col("sig"), k, rows))
           .as(Seq("band", "band_key")))
-      .groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_set(col(idCol))).as("ids"),
-        count(lit(1)).as("n"))
-      .filter(col("n") > 1)
+    val ok = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+    banded.join(ok, Seq("band", "band_key"))
+      .groupBy(col("band"), col("band_key"), col("n"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .select(col("band"), col("band_key"), col("ids"), col("n"))
+  }
 
   /** Candidate pairs from LSH buckets, deduped across bands, verified
     * with exact n-gram Jaccard ≥ threshold. Pair blow-up is bounded by

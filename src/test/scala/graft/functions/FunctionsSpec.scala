@@ -233,6 +233,18 @@ class DedupSpec extends SparkSpec {
     assert(buckets.forall { r =>
       val ids = r.getSeq[Long](2); ids.contains(1L) && ids.contains(2L) && !ids.contains(3L)
     })
+    // mega buckets are dropped BEFORE membership collection (the
+    // collect_set buffer is the OOM surface): 100 identical docs share
+    // every band key, so no bucket row may surface them — only the
+    // small near-dup bucket family survives
+    val mega = (10L to 109L).map(i => (i, "boilerplate footer " +
+      "repeated verbatim in every single document of the corpus"))
+    val df2 = (mega ++ Seq((1L, base), (2L, base + " phi"))).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshBuckets(df2, "text", "doc_id").collect()
+    assert(capped.nonEmpty)
+    assert(capped.forall(_.getLong(3) <= Dedup.MaxBucketForPairs))
+    assert(capped.forall(r => !r.getSeq[Long](2).contains(50L)),
+      "template mass never reaches a membership list")
   }
 
   test("simhash pairs find near-duplicates, not unrelated docs") {
