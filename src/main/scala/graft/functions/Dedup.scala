@@ -169,7 +169,7 @@ object Dedup {
           .as(Seq("band", "band_key")))
     val pairs =
       if (hashShingles)
-        banded(transform(col("sh_raw"), s => Expressions.fnv1a64(s)))
+        banded(Expressions.arrayFnv1a64(col("sh_raw")))
           .as[(String, Seq[Long], Int, String)]
           .groupByKey { case (_, _, band, key) => (band, key) }
           .flatMapGroups { (_: (Int, String), m: Iterator[(String, Seq[Long], Int, String)]) =>

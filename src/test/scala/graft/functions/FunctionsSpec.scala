@@ -38,6 +38,25 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.linesIterator.next().startsWith("*("), plan)
   }
 
+  test("ArrayFnv1a64 is bit-identical to the transform(fnv1a64) HOF") {
+    import org.apache.spark.sql.functions.{transform => arrTransform, _}
+    // varied strings + a null element + an empty array; range defeats
+    // constant folding so the codegen path executes
+    val df = spark.range(0, 100).select(
+      when(col("id") === 99, array().cast("array<string>"))
+        .otherwise(array(
+          concat(lit("sh"), col("id")),
+          when(col("id") % 7 === 0, lit(null)).otherwise(concat(lit("x"), col("id"))),
+          lit(""))).as("sh"))
+    val native = df.select(Expressions.arrayFnv1a64(col("sh")).as("h"))
+    val hof = df.select(arrTransform(col("sh"),
+      s => Expressions.fnv1a64(s)).as("h"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("),
+      "native array hash sits inside a WholeStageCodegen span")
+  }
+
   test("sql registration exposes fnv1a64/simhash64") {
     Expressions.register(spark)
     val r = spark.sql("SELECT fnv1a64('foobar') AS h, simhash64('x y') AS s").head()
