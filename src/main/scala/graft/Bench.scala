@@ -41,20 +41,29 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      // min of 2 reps; >2× disagreement (external load hit one rep) →
-      // one tie-breaker rep, still min
+      // a throwing query must be reported as FAILED (-1), never as its
+      // time-to-fail — min-of-reps would otherwise book an exception as
+      // a phantom speedup in the machine-parsed artifact
+      def once(): Double =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      // min of 2 good reps; >2× disagreement (external load hit one
+      // rep) → one tie-breaker rep, still min
       val (t1, t2) = (once(), once())
-      val best = math.min(t1, t2)
-      val t = if (best > 0.3 && math.max(t1, t2) > 2 * best)
-        math.min(best, once())
-      else best
-      name -> t
+      if (t1 < 0 || t2 < 0) name -> -1.0
+      else {
+        val best = math.min(t1, t2)
+        val t = if (best > 0.3 && math.max(t1, t2) > 2 * best) {
+          val t3 = once()
+          if (t3 < 0) best else math.min(best, t3)
+        } else best
+        name -> t
+      }
     }
+    val failed = results.collect { case (n, t) if t < 0 => n }
 
     // headline: extraction throughput on a transcript table sized ~150k
     // turns (scaled down for smaller sf dirs); one warmup pass so the
@@ -70,18 +79,25 @@ object Bench {
     val turnsPerSec = if (extractSec > 0) turns / extractSec else 0.0
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + extractSec
+    val failedList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum + extractSec
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_turns":$turns%.0f,"extract_sec":$extractSec%.3f,"turns_per_sec":$turnsPerSec%.1f,"timing":"min_of_2_reps_after_warmup"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir","extract_turns":$turns%.0f,"extract_sec":$extractSec%.3f,"turns_per_sec":$turnsPerSec%.1f,"timing":"min_of_2_reps_after_warmup"}"""
     println(json)
     // machine-readable copy: sbt's logger prefixes stdout lines, so the
-    // driver's parser also gets a clean file to read
+    // driver's parser also gets a clean file to read. Repo-absolute (the
+    // FixtureGen convention) — a cwd-relative path leaves a stale
+    // artifact whenever the bench runs from outside the repo root.
     try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH/last_bench.json"),
+      val dir = java.nio.file.Paths.get("/root/repo/BENCH")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("last_bench.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] bench artifact write failed " +
+          s"(stdout JSON above is authoritative): ${e.getMessage}")
+    }
     spark.stop()
   }
 

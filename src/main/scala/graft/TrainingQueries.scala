@@ -296,7 +296,9 @@ object TrainingQueries {
        |        ELSE 0::HUGEINT END)::UBIGINT AS u
        |  FROM votes GROUP BY doc_id),
        |shu AS (
-       |  SELECT n.doc_id, coalesce(u, 0::UBIGINT) AS u
+       |  SELECT n.doc_id,
+       |    CASE WHEN nt IS NULL THEN NULL
+       |         ELSE coalesce(u, 0::UBIGINT) END AS u
        |  FROM n LEFT JOIN sh_u USING (doc_id))""".stripMargin
 
   /** Element-wise L2-normalize a DOUBLE[] named `e` (matches the Spark
@@ -436,9 +438,16 @@ object TrainingQueries {
          |  FROM documents WHERE len(trim(text)) > 0)
          |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".stripMargin,
 
+    // null text: engine emits (null, null) — the oracle's list_reduce
+    // fold would otherwise degrade NULL input to the bare FNV seed and
+    // coalesce would bucket it at simhash 0, so both columns propagate
+    // NULL explicitly (empty text correctly hashes to seed / simhash 0
+    // on both sides)
     "q29_simhash" ->
       s"""${simhashCte()},
-         |f AS (SELECT doc_id, ${fnvSql("nt")} AS h FROM n)
+         |f AS (SELECT doc_id,
+         |  CASE WHEN nt IS NULL THEN NULL ELSE ${fnvSql("nt")} END AS h
+         |  FROM n)
          |SELECT shu.doc_id, ${toSigned("shu.u::HUGEINT")} AS sh,
          |       ${toSigned("f.h")} AS fnv
          |FROM shu JOIN f USING (doc_id)""".stripMargin,
@@ -578,7 +587,7 @@ object TrainingQueries {
        |bk AS ($bands),
        |ok AS (
        |  SELECT band, band_key FROM bk GROUP BY band, band_key
-       |  HAVING count(*) BETWEEN 2 AND 64),
+       |  HAVING count(*) BETWEEN 2 AND ${Dedup.MaxBucketForPairs}),
        |pairs AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM bk l

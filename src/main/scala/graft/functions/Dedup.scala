@@ -196,14 +196,25 @@ object Dedup {
   private def bucketPairs[T](members: Iterator[(String, Seq[T], Int, String)],
       maxBucket: Int, threshold: Double, ord: Ordering[String],
       stats: Option[BucketAccounting] = None): Iterator[(String, String, Double)] = {
-    val docs = members.take(maxBucket + 1).toArray
+    // explicit bounded pull: consuming via take() and then reading the
+    // same iterator again is documented-undefined on scala.Iterator —
+    // this loop leaves `members` positioned exactly at the first
+    // un-pulled element with defined semantics
+    val buf = Array.newBuilder[(String, Seq[T], Int, String)]
+    var pulled = 0
+    while (pulled <= maxBucket && members.hasNext) {
+      buf += members.next(); pulled += 1
+    }
+    val docs = buf.result()
     if (docs.length < 2 || docs.length > maxBucket) {
       if (docs.length > maxBucket) stats.foreach { acc =>
         // drain the rest of the group (count only — nothing materializes)
         // so the disclosure is the bucket's TRUE (doc, band) membership,
         // not the truncated maxBucket+1 peek
+        var rest = 0L
+        while (members.hasNext) { members.next(); rest += 1 }
         acc.megaBucketsDropped.add(1L)
-        acc.docsInMegaBuckets.add(docs.length.toLong + members.size)
+        acc.docsInMegaBuckets.add(docs.length.toLong + rest)
       }
       Iterator.empty
     } else {
@@ -264,8 +275,14 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = MaxBucketForPairs,
       stats: Option[Observation] = None): DataFrame = {
+    // null text (null simhash) is EXPLICITLY excluded, mirroring the
+    // jaccard path's null handling: implicit exclusion via null join
+    // keys would work here, but the oracle must agree doc-for-doc and
+    // an explicit filter prunes the rows before the explode (empty text
+    // is NOT null — it hashes to 0 and buckets normally on both sides)
     val hashed = df.select(col(idCol).as("id"),
       Expressions.simhash64(TextFunctions.normText(col(textCol))).as("sh"))
+      .filter(col("id").isNotNull && col("sh").isNotNull)
     val banded = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))

@@ -87,7 +87,7 @@ final class SnapshotTable(val root: String) {
       paths: Seq[String], files: Seq[String],
       summary: Map[String, String],
       expectedParent: Option[String]): String = {
-    requireParent(expectedParent)
+    requireParentOrCleanup(expectedParent, dataPath)
     Files.createDirectories(metaDir)
     val json = snapshotJson(snapshotId, dataPath, paths, files, summary)
     Files.write(metaDir.resolve(s"snapshot-$snapshotId.json"),
@@ -98,6 +98,21 @@ final class SnapshotTable(val root: String) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     snapshotId
   }
+
+  /** [[requireParent]] plus orphan reclamation: a detected conflict
+    * must not leak the failed commit's (complete, but never-referenced)
+    * data dir — no manifest points at it, so neither `history()` nor
+    * [[expireSnapshots]] would ever reclaim it, a full table-sized leak
+    * per detected conflict at corpus scale. */
+  private[table] def requireParentOrCleanup(expected: Option[String],
+      dataPath: String): Unit =
+    try requireParent(expected)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        val dir = Paths.get(dataPath)
+        if (Files.exists(dir)) deleteRecursively(dir)
+        throw e
+    }
 
   /** Fail the commit if another writer advanced `current` since this
     * commit captured its parent (see [[finalizeCommit]]). */

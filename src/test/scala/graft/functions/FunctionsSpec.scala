@@ -277,6 +277,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // null text is excluded (never "pairs" with other null-text docs at
+    // hamming 0); EMPTY text hashes to 0 and pairs normally — the same
+    // null policy as the jaccard path, mirrored in the oracle's
+    // NULL-propagating simhash CTE
+    val withNulls = df.unionByName(Seq(
+      (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]),
+      (12L, ""), (13L, "   ")).toDF("doc_id", "text"))
+    val p2 = Dedup.simhashPairs(withNulls, "text", "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!p2.exists { case (a, b) => a == 10L || b == 10L || a == 11L || b == 11L },
+      "null-text docs never reach a bucket")
+    assert(p2.contains((12L, 13L)), "empty/whitespace docs pair at simhash 0")
   }
 
   test("jaccard pairs survive null text, null ids, and empty docs") {

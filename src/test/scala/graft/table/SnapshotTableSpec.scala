@@ -142,5 +142,16 @@ class SnapshotTableSpec extends SparkSpec {
     t.requireParent(Some(id1))
     val id2 = t.commit(Seq((2, "b")).toDF("k", "v"), Seq.empty)
     assert(t.read(spark).count() == 2, s"cumulative view after $id2")
+    // a failed commit must also RECLAIM its orphaned data dir — nothing
+    // references it, so no later expiry could ever delete it
+    val orphan = java.nio.file.Paths.get(root, "data", "loser-000001")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    intercept[java.util.ConcurrentModificationException] {
+      t.requireParentOrCleanup(Some("0000000000000-000000"), orphan.toString)
+    }
+    assert(!java.nio.file.Files.exists(orphan),
+      "conflict-losing commit's data dir is deleted, not leaked")
   }
 }
