@@ -120,6 +120,16 @@ object TrainingQueries {
       Dedup.embeddingNearDups(embs(s, dir), "embedding", "vec_id",
         "label", threshold = 0.2)),
 
+    // the dedup pipeline's FINAL step: pairwise near-dup edges →
+    // transitive clusters (keep one doc per connected component, not
+    // per pair); min-label propagation in Spark vs a recursive-CTE
+    // reachability closure in the oracle
+    "q50_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
+          n = 3, threshold = 0.2, K, R),
+        "a", "b")),
+
     // Gopher-style repetition signal: duplicate-token fraction per doc
     // (1 - distinct/total) — the standard repetitious-text filter input
     "q42_repetition" -> ((s, dir) =>
@@ -432,6 +442,19 @@ object TrainingQueries {
 
     "q45_jaccard_pairs_hashed" -> jaccardPairsSql(hashed = true),
 
+    // transitive closure over the q31 edge set: cluster = min reachable
+    // id (the same deterministic min-wins keeper rule as exact dedup)
+    "q50_dup_clusters" ->
+      s"""WITH RECURSIVE ${jaccardCtes(hashed = false)},
+         |sym AS (SELECT a AS src, b AS dst FROM jp
+         |        UNION SELECT b, a FROM jp),
+         |reach AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT src AS id, least(src, min(dst)) AS cluster
+         |FROM reach GROUP BY src""".stripMargin,
+
     "q19_term_freq" ->
       s"""SELECT tok, count(*) AS cnt FROM (
          |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
@@ -573,7 +596,15 @@ object TrainingQueries {
     * `hashed`, each 3-gram is FNV-1a-hashed to a 64-bit value (HUGEINT
     * mod 2^64 — set-isomorphic to the engine's signed longs, so
     * intersection sizes match exactly) before the set comparison. */
-  private def jaccardPairsSql(hashed: Boolean): String = {
+  private def jaccardPairsSql(hashed: Boolean): String =
+    s"""WITH ${jaccardCtes(hashed)}
+       |SELECT a, b, jaccard FROM jp""".stripMargin
+
+  /** The q31/q45 pipeline as a CTE list ending in
+    * `jp(a, b, jaccard)` — shared by the pair queries and the q50
+    * cluster oracle (which prepends RECURSIVE and appends the
+    * reachability closure). */
+  private def jaccardCtes(hashed: Boolean): String = {
     val bands = (0 until K / R).map(b =>
       s"SELECT doc_id, $b AS band, ${bandKeyExpr(b)} AS band_key FROM sig")
       .mkString(" UNION ALL ")
@@ -583,7 +614,7 @@ object TrainingQueries {
     val shingleExpr =
       if (hashed) s"list_distinct(list_transform($grams, g -> ${fnvSql("g")}))"
       else s"list_distinct($grams)"
-    s"""WITH sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS s FROM documents),
+    s"""sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS s FROM documents),
        |bk AS ($bands),
        |ok AS (
        |  SELECT band, band_key FROM bk GROUP BY band, band_key
@@ -599,9 +630,11 @@ object TrainingQueries {
        |j AS (SELECT a, b,
        |    len(list_intersect(sa.g, sb.g))::DOUBLE AS inter,
        |    (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g)))::DOUBLE AS uni
-       |  FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)
-       |SELECT a, b, floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 AS jaccard
-       |FROM j WHERE floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 >= 0.2""".stripMargin
+       |  FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b),
+       |jp AS (
+       |  SELECT a, b, floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 AS jaccard
+       |  FROM j
+       |  WHERE floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 >= 0.2)""".stripMargin
   }
 
   /** Sign-LSH near-dup oracle with the occupancy cap mirrored

@@ -364,4 +364,61 @@ object Dedup {
     embeddingNearDups(bucketed, vecCol, idCol, "_graft_lshb", threshold,
       maxBucket, stats)
   }
+
+  /** Transitive near-dup clusters: the final dedup step. Pairwise
+    * generators (jaccard / simhash / embedding) emit EDGES; keeping one
+    * doc per connected component — not per pair — is what actually
+    * dedupes, because near-dup is not transitive pairwise but the
+    * cluster policy treats it so (a~b, b~c ⇒ drop two of three).
+    *
+    * Distributed min-label propagation: every vertex starts as its own
+    * label, each round takes the min of its own and its neighbors'
+    * labels, until a fixpoint — converging in O(cluster diameter)
+    * rounds, and dedup graphs are shallow (near-dup clusters are
+    * quasi-cliques from shared LSH buckets; diameter is small even when
+    * the corpus is not). The loop is DRIVER-CONTROLLED but fully
+    * distributed per round: one join + one aggregation, both keyed on
+    * vertex id; nothing is collected. `localCheckpoint` truncates the
+    * iterative lineage so round N's plan doesn't embed rounds 1..N-1
+    * (the classic iterative-DataFrame blowup). For adversarial
+    * long-chain graphs, large-star/small-star (Kiveris et al.) halves
+    * round count; not needed at dedup diameters.
+    *
+    * Returns (id, cluster) for every vertex that appears in `pairs`;
+    * cluster = min id of its component (deterministic keeper choice —
+    * the same min-wins rule as [[exactGroups]]).
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val viaNeighbor = sym
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .select(col("src").as("id"), col("label"))
+        val next = viaNeighbor.union(labels)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") < col("old")).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      require(converged,
+        s"dupClusters did not converge in $maxIter rounds — component " +
+          "diameter exceeds the dedup-graph assumption; raise maxIter or " +
+          "switch to large-star/small-star")
+      labels.select(col("id"), col("label").as("cluster"))
+    } finally sym.unpersist(blocking = false)
+  }
 }

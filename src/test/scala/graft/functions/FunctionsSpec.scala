@@ -402,6 +402,29 @@ class DedupSpec extends SparkSpec {
       "fixtures/neardup_docs.parquet is stale — regenerate FixtureGen")
   }
 
+  test("dupClusters resolves transitive chains to min-id components") {
+    // near-dup is not transitive pairwise, but the cluster policy is:
+    // a~b, b~c, c~d must collapse to ONE component labeled by its min
+    // id, and an unconnected pair keeps its own label
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 8L))
+      .toDF("a", "b")
+    val got = Dedup.dupClusters(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      8L -> 8L, 9L -> 8L))
+    // string ids cluster by lexicographic min — same rule, any key type
+    val sEdges = Seq(("db", "da"), ("db", "dc"), ("x2", "x1"))
+      .toDF("a", "b")
+    val sGot = Dedup.dupClusters(sEdges, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot == Map("da" -> "da", "db" -> "da", "dc" -> "da",
+      "x1" -> "x1", "x2" -> "x1"))
+    // a long path stresses the propagation loop (diameter 9 < maxIter)
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val cGot = Dedup.dupClusters(chain, "a", "b").collect()
+    assert(cGot.length == 10 && cGot.forall(_.getLong(1) == 0L))
+  }
+
   test("lshNearDups pair count is bounded by bucket occupancy") {
     val planes = 6
     val vecs = (0L until 200L).map { i =>
