@@ -49,7 +49,14 @@ for t in (4, 8, 16, 32):
         vals.append(float(out.stdout.strip()))
     cpu[t] = min(vals)
 
+def median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
 rows = res[4]["rows"]
+med = {k: median(v["all"]) for k, v in res.items()}
+med416 = med[4] / (4 * med[16])
 t = {k: v["sec"] for k, v in res.items()}
 thr = {k: rows / v for k, v in t.items()}
 eff416 = t[4] / (4 * t[16])
@@ -62,6 +69,7 @@ j = {"metric": "scaling_efficiency_4_to_16", "value": round(eff416, 3),
      **{f"t{k}_sec": round(v, 3) for k, v in t.items()},
      **{f"turns_per_sec_{k}": round(v, 1) for k, v in thr.items()},
      "eff_8_to_32": round(eff832, 3),
+     "eff_4_to_16_median": round(med416, 3),
      "cpu_ceiling_4_to_16": round(ceil416, 3),
      "cpu_ceiling_8_to_32": round(ceil832, 3),
      "reps": reps, "all_runs": {str(k): v["all"] for k, v in res.items()}}
@@ -107,6 +115,16 @@ count by construction (PLANS.md: zero data exchanges).
 
 Target ≥ 0.8 on the physical-core pair; across the SMT boundary the job
 tracks the hardware ceiling.
+""" + (f"""
+**Honest read of the >1.0 efficiency**: min-of-reps across noisy runs
+paired one unusually quiet high-parallelism rep against a level-4 floor
+that never benefits from few-core turbo — superlinear single-box
+scaling is not a real property of the job. The conservative
+median-of-reps reading of the same disclosed data is
+**{med416:.3f}** ({med[4]:.3f}s → {med[16]:.3f}s), which is what the
+≥0.8 claim rests on; all reps are listed above so either statistic can
+be recomputed.
+""" if eff416 > 1.0 else "") + """
 
 ```json
 {json.dumps(j)}
