@@ -148,6 +148,30 @@ object TrainingQueries {
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))),
 
+    // the pipeline ENDPOINT: training-set selection composing the
+    // individual signals — quality floor, confident lang-ID, repetition
+    // ceiling, and exact-dedup keeper (first doc per content
+    // fingerprint) — the SELECT that actually builds a training corpus
+    // from the filter family above
+    "q51_training_selection" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.tokens(col("text")).as("t"),
+        md5(TextFunctions.normText(col("text"))).as("fp"))
+      val rep = scored.withColumn("rep",
+        Ann.round4(when(size(col("t")) > 0,
+          lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+            size(col("t")).cast("double")).otherwise(0.0)))
+        .drop("t")
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      rep.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("q") >= 0.5 &&
+          col("rep") <= 0.2 && col("lang_pred") =!= "und")
+        .select(col("doc_id"), col("lang_pred"), col("q"), col("rep"))
+    }),
+
     // corpus profile: per (source, lang) doc counts / chars / tokens —
     // the standard pre-training corpus-stats rollup
     "q44_corpus_stats" -> ((s, dir) =>
@@ -265,6 +289,28 @@ object TrainingQueries {
     s"CASE $caseChain ELSE 'und' END"
   }
 
+  /** The q22 quality score as a DuckDB expression (floor-rounded to 4
+    * decimals, same IEEE ops as the engine). */
+  private def qualitySql: String = {
+    val nTok = s"(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($TOK) END)::DOUBLE"
+    val nPunct = """len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE"""
+    val stopList = Seq("the", "a", "of", "and", "is", "to", "in")
+      .map("'" + _ + "'").mkString(",")
+    val nStop = s"len(list_filter($TOKL, t -> t IN ($stopList)))::DOUBLE"
+    s"""floor((
+       |  (CASE WHEN $nTok >= 10 AND $nTok <= 1000 THEN 1.0
+       |        WHEN $nTok > 0 THEN 0.5 ELSE 0.0 END) * 0.4 +
+       |  (1.0 - (CASE WHEN $nTok > 0 THEN least($nPunct / $nTok, 1.0) ELSE 0.0 END)) * 0.3 +
+       |  least((CASE WHEN $nTok > 0 THEN $nStop / $nTok ELSE 0.0 END) * 5, 1.0) * 0.3
+       |  ) * 10000 + 0.5) / 10000""".stripMargin
+  }
+
+  /** The q42 duplicate-token fraction as a DuckDB expression. */
+  private def repSql: String =
+    s"""floor((CASE WHEN len(trim(text)) = 0 THEN 0.0
+       |  ELSE 1.0 - len(list_distinct($TOK))::DOUBLE / len($TOK)::DOUBLE
+       |  END) * 10000 + 0.5) / 10000""".stripMargin
+
   /** 16 minhash component expressions over distinct tokens. */
   private def sigExprs: Seq[String] =
     (0 until K).map(i =>
@@ -345,10 +391,18 @@ object TrainingQueries {
       s"SELECT doc_id, $langPredSql AS lang_pred FROM documents",
 
     "q42_repetition" ->
-      s"""SELECT doc_id, floor((CASE WHEN len(trim(text)) = 0 THEN 0.0
-         |  ELSE 1.0 - len(list_distinct($TOK))::DOUBLE / len($TOK)::DOUBLE
-         |  END) * 10000 + 0.5) / 10000 AS rep_frac
-         |FROM documents""".stripMargin,
+      s"SELECT doc_id, $repSql AS rep_frac FROM documents",
+
+    // both sides floor-round q/rep to 4 decimals before the threshold
+    // compare, so boundary docs land identically
+    "q51_training_selection" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, $qualitySql AS q, $langPredSql AS lang_pred,
+         |    $repSql AS rep,
+         |    row_number() OVER (PARTITION BY md5($NORM) ORDER BY doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, lang_pred, q, rep FROM scored
+         |WHERE rn = 1 AND q >= 0.5 AND rep <= 0.2 AND lang_pred <> 'und'""".stripMargin,
 
     "q43_langid_eval" ->
       s"""SELECT lang, $langPredSql AS lang_pred, count(*) AS n
@@ -361,19 +415,8 @@ object TrainingQueries {
          |       AS BIGINT) AS tokens
          |FROM documents GROUP BY 1, 2""".stripMargin,
 
-    "q22_quality_score" -> {
-      val nTok = s"(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($TOK) END)::DOUBLE"
-      val nPunct = """len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE"""
-      val stopList = Seq("the", "a", "of", "and", "is", "to", "in")
-        .map("'" + _ + "'").mkString(",")
-      val nStop = s"len(list_filter($TOKL, t -> t IN ($stopList)))::DOUBLE"
-      s"""SELECT doc_id, floor((
-         |  (CASE WHEN $nTok >= 10 AND $nTok <= 1000 THEN 1.0
-         |        WHEN $nTok > 0 THEN 0.5 ELSE 0.0 END) * 0.4 +
-         |  (1.0 - (CASE WHEN $nTok > 0 THEN least($nPunct / $nTok, 1.0) ELSE 0.0 END)) * 0.3 +
-         |  least((CASE WHEN $nTok > 0 THEN $nStop / $nTok ELSE 0.0 END) * 5, 1.0) * 0.3
-         |  ) * 10000 + 0.5) / 10000 AS q FROM documents""".stripMargin
-    },
+    "q22_quality_score" ->
+      s"SELECT doc_id, $qualitySql AS q FROM documents",
 
     "q23_fingerprint" ->
       s"SELECT doc_id, substr(md5($NORM), 1, 16) AS fp FROM documents",

@@ -59,6 +59,24 @@ object StreamingExtraction {
     (if (availableNow) q.trigger(Trigger.AvailableNow()) else q).start()
   }
 
+  /** Streaming exact CONTENT dedup: first-writer-wins on the md5
+    * fingerprint of the canonical text — the continuous analog of
+    * [[graft.functions.Dedup.exactGroupsByFingerprint]] for an
+    * ingest-time training-data pipeline (drop boilerplate re-crawls as
+    * they arrive rather than in a nightly batch). Same scale posture as
+    * the batch path: the state store keys on the 32-byte fingerprint,
+    * never the payload, and `dropDuplicatesWithinWatermark` evicts
+    * state on the event-time watermark, so state is bounded by the
+    * lateness window's distinct-content volume — not by stream
+    * lifetime. */
+  def dedupByContentStream(turns: DataFrame,
+      lateness: String = "7 days"): DataFrame =
+    turns
+      .withColumn("fp",
+        md5(graft.functions.TextFunctions.normText(col("text"))))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Per-conversation rolling state (arbitrary stateful processing —
     * KeyValueGroupedDataset.mapGroupsWithState): turn counts, payload
     * mix and last event time per conversation, emitted on update.

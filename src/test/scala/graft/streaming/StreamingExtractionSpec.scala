@@ -45,6 +45,41 @@ class StreamingExtractionSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == batchEligible.count())
   }
 
+  test("streaming content dedup: first writer wins on the text fingerprint") {
+    import spark.implicits._
+    val in = tmpDir("dedup-in-")
+    val out = tmpDir("dedup-out-")
+    val ckpt = tmpDir("dedup-ckpt-")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // same content under different ids/whitespace across two files;
+    // distinct content survives
+    Seq(
+      ("c1", 0, "user", "the same doc body", null.asInstanceOf[String], ts(0)),
+      ("c2", 0, "user", "  the   SAME doc body ", null.asInstanceOf[String], ts(1)),
+      ("c3", 0, "user", "a different doc", null.asInstanceOf[String], ts(2)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .write.mode("append").parquet(in)
+    Seq(
+      ("c4", 0, "user", "the same doc body", null.asInstanceOf[String], ts(3)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(StreamingExtraction.turnSchema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = StreamingExtraction.dedupByContentStream(stream)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out).select("conv_id")
+      .collect().map(_.getString(0)).toSet
+    // one survivor per distinct canonical content: c1/c2/c4 collapse
+    // (normText folds case+whitespace), c3 is its own content
+    assert(got.size == 2 && got.contains("c3"))
+    assert((got - "c3").subsetOf(Set("c1", "c2", "c4")))
+  }
+
   test("stateful conversation summaries via mapGroupsWithState") {
     import spark.implicits._
     val cfg = GenConfig(nConvs = 10)
