@@ -136,10 +136,7 @@ object TrainingQueries {
       docs(s, dir)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
         .select(col("doc_id"),
-          Ann.round4(when(size(col("t")) > 0,
-            lit(1.0) - size(array_distinct(col("t"))).cast("double") /
-              size(col("t")).cast("double")).otherwise(0.0))
-            .as("rep_frac"))),
+          TextFunctions.repetitionFromTokens(col("t")).as("rep_frac"))),
 
     // lang-ID evaluation: confusion rollup of predicted vs labeled lang
     "q43_langid_eval" -> ((s, dir) =>
@@ -153,24 +150,17 @@ object TrainingQueries {
     // ceiling, and exact-dedup keeper (first doc per content
     // fingerprint) — the SELECT that actually builds a training corpus
     // from the filter family above
-    "q51_training_selection" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val scored = docs(s, dir).select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("q"),
-        TextFunctions.langId(col("text")).as("lang_pred"),
-        TextFunctions.tokens(col("text")).as("t"),
-        md5(TextFunctions.normText(col("text"))).as("fp"))
-      val rep = scored.withColumn("rep",
-        Ann.round4(when(size(col("t")) > 0,
-          lit(1.0) - size(array_distinct(col("t"))).cast("double") /
-            size(col("t")).cast("double")).otherwise(0.0)))
-        .drop("t")
-      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-      rep.withColumn("rn", row_number().over(w))
+    "q51_training_selection" -> ((s, dir) =>
+      Dedup.withFingerprintRank(
+          docs(s, dir).select(col("doc_id"), col("text")), "text", "doc_id")
+        .select(col("doc_id"), col("rn"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("rep", TextFunctions.repetitionFromTokens(col("t")))
         .filter(col("rn") === 1 && col("q") >= 0.5 &&
           col("rep") <= 0.2 && col("lang_pred") =!= "und")
-        .select(col("doc_id"), col("lang_pred"), col("q"), col("rep"))
-    }),
+        .select(col("doc_id"), col("lang_pred"), col("q"), col("rep"))),
 
     // corpus profile: per (source, lang) doc counts / chars / tokens —
     // the standard pre-training corpus-stats rollup

@@ -66,16 +66,23 @@ object Dedup {
     df.groupBy(TextFunctions.normText(col(textCol)).as("norm_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
-  /** Ids to drop under exact dedup (everything but the keeper).
-    * Fingerprint-keyed: the window shuffles 32-byte md5 keys, never the
-    * payload. */
-  def exactDropIds(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** Stage the exact-dedup rank: content fingerprint `fp` plus the
+    * per-fingerprint rank `rn` (1 = keeper, min-id-wins). Fingerprint-
+    * keyed, so the window shuffles 32-byte md5 keys, never the payload.
+    * Shared by the drop-list ([[exactDropIds]]) and keep-first (q51
+    * selection) consumers — one definition of the keeper rule. */
+  def withFingerprintRank(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
-    df.select(col(idCol), md5(TextFunctions.normText(col(textCol))).as("fp"))
+    df.withColumn("fp", md5(TextFunctions.normText(col(textCol))))
       .withColumn("rn", row_number().over(w))
+  }
+
+  /** Ids to drop under exact dedup (everything but the keeper). */
+  def exactDropIds(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    withFingerprintRank(df.select(col(idCol), col(textCol)), textCol, idCol)
       .filter(col("rn") > 1)
       .select(col(idCol).as("drop_id"))
-  }
 
   /** MinHash-LSH near-dup buckets: signature → band keys → explode →
     * group by (band, key). Returns candidate buckets holding
@@ -390,7 +397,6 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -410,6 +416,10 @@ object Dedup {
           .localCheckpoint(true)
         val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
           .filter(col("label") < col("old")).count()
+        // the superseded checkpoint is dead after `changed` — release
+        // its blocks now instead of pinning maxIter label tables in the
+        // block manager until driver GC notices
+        labels.unpersist(blocking = false)
         labels = next
         converged = changed == 0
         iter += 1

@@ -22,6 +22,15 @@ object TextFunctions {
   def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Gopher-style duplicate-token fraction (1 − distinct/total,
+    * 4-decimal floor-rounded) from a PRE-MATERIALIZED token column —
+    * the repetitious-text filter input, shared by the q42 signal and
+    * the q51 selection so the formula has one definition. */
+  def repetitionFromTokens(t: Column): Column =
+    Ann.round4(when(size(t) > 0,
+      lit(1.0) - size(array_distinct(t)).cast("double") /
+        size(t).cast("double")).otherwise(0.0))
+
   /** Distinct word n-gram shingles from a PRE-MATERIALIZED token column
     * (stage `tokens` as its own Project first — see the staging note on
     * [[minhashSigFromTokens]]). */

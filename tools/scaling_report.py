@@ -124,7 +124,7 @@ median-of-reps reading of the same disclosed data is
 **{med416:.3f}** ({med[4]:.3f}s → {med[16]:.3f}s), which is what the
 ≥0.8 claim rests on; all reps are listed above so either statistic can
 be recomputed.
-""" if eff416 > 1.0 else "") + """
+""" if eff416 > 1.0 else "") + f"""
 
 ```json
 {json.dumps(j)}
