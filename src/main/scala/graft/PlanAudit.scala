@@ -84,6 +84,21 @@ object PlanAudit {
       SparkEntry.queries("q30_simhash_pairs")(spark, dir)
     }
 
+    show("training selection (q51): signals staged below the keeper window",
+      "The fingerprint-dedup window must shuffle (doc_id, q, lang_pred, " +
+      "rep, fp) — the staged signal columns, a few dozen bytes per doc — " +
+      "and the raw text column must NOT appear in the Exchange above the " +
+      "scan (signals and fp are computed map-side, text pruned).") {
+      SparkEntry.queries("q51_training_selection")(spark, dir)
+    }
+
+    show("exact-dedup drop list (q49): payload pruned below the window",
+      "The rank window shuffles only (doc_id, fp) — Catalyst prunes the " +
+      "text column below the Exchange because no operator above the " +
+      "fingerprint Project reads it.") {
+      SparkEntry.queries("q49_exact_dropids")(spark, dir)
+    }
+
     // ---- AQE skew-join evidence (SURVEY §4.2) --------------------------
     // The turns × conversation-dim join is the shape that skews at
     // 100 TB: join on conv_id alone, where one conversation can dwarf

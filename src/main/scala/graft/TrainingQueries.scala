@@ -150,14 +150,18 @@ object TrainingQueries {
     // ceiling, and exact-dedup keeper (first doc per content
     // fingerprint) — the SELECT that actually builds a training corpus
     // from the filter family above
+    // signals + fingerprint are staged BEFORE the keeper rank, so the
+    // window's exchange carries (doc_id, q, lang_pred, rep, fp) — a few
+    // dozen bytes per doc — never the payload text
     "q51_training_selection" -> ((s, dir) =>
-      Dedup.withFingerprintRank(
-          docs(s, dir).select(col("doc_id"), col("text")), "text", "doc_id")
-        .select(col("doc_id"), col("rn"),
-          TextFunctions.qualityScore(col("text")).as("q"),
-          TextFunctions.langId(col("text")).as("lang_pred"),
-          TextFunctions.tokens(col("text")).as("t"))
-        .withColumn("rep", TextFunctions.repetitionFromTokens(col("t")))
+      Dedup.rankByFingerprint(
+          docs(s, dir).select(col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("q"),
+            TextFunctions.langId(col("text")).as("lang_pred"),
+            TextFunctions.tokens(col("text")).as("t"),
+            md5(TextFunctions.normText(col("text"))).as("fp"))
+          .withColumn("rep", TextFunctions.repetitionFromTokens(col("t")))
+          .drop("t"), "doc_id")
         .filter(col("rn") === 1 && col("q") >= 0.5 &&
           col("rep") <= 0.2 && col("lang_pred") =!= "und")
         .select(col("doc_id"), col("lang_pred"), col("q"), col("rep"))),

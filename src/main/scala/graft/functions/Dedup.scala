@@ -66,17 +66,22 @@ object Dedup {
     df.groupBy(TextFunctions.normText(col(textCol)).as("norm_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
-  /** Stage the exact-dedup rank: content fingerprint `fp` plus the
-    * per-fingerprint rank `rn` (1 = keeper, min-id-wins). Fingerprint-
-    * keyed, so the window shuffles 32-byte md5 keys, never the payload.
-    * Shared by the drop-list ([[exactDropIds]]) and keep-first (q51
-    * selection) consumers — one definition of the keeper rule. */
+  /** THE keeper rule, defined once: per-fingerprint rank `rn`
+    * (1 = keeper, min-id-wins) over a frame that ALREADY carries `fp`.
+    * Callers stage `fp` (and any other per-doc signals) in their own
+    * Project BEFORE ranking, so the window's exchange shuffles the
+    * 32-byte key plus the signal columns — never the payload text. */
+  def rankByFingerprint(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("rn", row_number().over(
+      Window.partitionBy(col("fp")).orderBy(col(idCol))))
+
+  /** [[rankByFingerprint]] with the fingerprint staged from the text
+    * column (Catalyst prunes the text below the exchange when no
+    * downstream operator reads it, as in [[exactDropIds]]). */
   def withFingerprintRank(df: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
-    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
-    df.withColumn("fp", md5(TextFunctions.normText(col(textCol))))
-      .withColumn("rn", row_number().over(w))
-  }
+      idCol: String): DataFrame =
+    rankByFingerprint(
+      df.withColumn("fp", md5(TextFunctions.normText(col(textCol)))), idCol)
 
   /** Ids to drop under exact dedup (everything but the keeper). */
   def exactDropIds(df: DataFrame, textCol: String, idCol: String): DataFrame =
