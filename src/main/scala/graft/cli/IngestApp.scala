@@ -15,7 +15,10 @@ import graft.table.CheckpointStore
   *   --input  <transcript table path (parquet dir)> \
   *   --table  <output table root> \
   *   [--format parquet|json|csv]       # input format (default parquet)
-  *   [--system cs] [--mode ingest|delete] [--chunks 8] [--salt 8]
+  *   [--system cs] [--mode ingest|delete|dedup] [--chunks 8] [--salt 8]
+  *                                     # dedup: near-dedup the COMMITTED
+  *                                     # table (drop list + metrics);
+  *                                     # --input not required
   *   [--since "2023-03-22 11:59:59"]   # watermark override (backfill)
   *   [--seed-watermark "..."]          # bootstrap a missing checkpoint
   *   [--compact true]                  # rewrite the view into one dir
@@ -26,7 +29,8 @@ object IngestApp {
 
   def main(args: Array[String]): Unit = {
     val opts = parse(args.toList, Map.empty)
-    val input = opts.getOrElse("input", sys.error("--input required"))
+    // dedup mode reads the committed table, not a transcript input
+    lazy val input = opts.getOrElse("input", sys.error("--input required"))
     val table = opts.getOrElse("table", sys.error("--table required"))
     val system = opts.getOrElse("system", "cs")
     val mode = opts.getOrElse("mode", "ingest")
@@ -45,7 +49,7 @@ object IngestApp {
         java.sql.Timestamp.valueOf(ts))
     }
 
-    val turns = graft.sources.TranscriptSource.read(spark, input,
+    lazy val turns = graft.sources.TranscriptSource.read(spark, input,
       opts.getOrElse("format", "parquet"))
     val result = mode match {
       case "ingest" =>
@@ -55,6 +59,18 @@ object IngestApp {
       case "delete" =>
         ExtractionJob.runDelete(spark, turns, table, system,
           overrideWatermark = opts.get("since"))
+      case "dedup" =>
+        // content near-dedup of the COMMITTED extraction table: simhash
+        // pairs (Hamming ≤ 3) → transitive clusters → drop list at
+        // <table>/dedup_drops + disclosure metrics; --input is unused
+        import org.apache.spark.sql.functions._
+        val view = new graft.table.SnapshotTable(table).read(spark)
+          .select(concat_ws(":", col("conv_id"), col("turn_idx"))
+            .as("doc_id"), col("extracted_text").as("text"))
+        val r = graft.pipeline.DedupJob.runSimhashDedup(
+          spark, table, view, "text", "doc_id")
+        ExtractionJob.JobResult("COMPLETED", 0L, r.pairs, 0,
+          new java.sql.Timestamp(0), Seq.empty, r.durationSec, None)
       case other => sys.error(s"unknown --mode $other")
     }
 

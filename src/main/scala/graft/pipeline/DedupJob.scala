@@ -62,6 +62,38 @@ object DedupJob {
     res
   }
 
+  /** End-to-end content near-dedup over a document frame (the CLI's
+    * `--mode dedup`): simhash pairs at the ≤3-bit operating point →
+    * transitive clusters → drop list (every cluster member except its
+    * min-id keeper) written to `<tableRoot>/dedup_drops`, with the
+    * occupancy-drop disclosure row in the metrics table. The
+    * observation fills during cluster propagation's own actions — no
+    * extra pass over the corpus. */
+  def runSimhashDedup(spark: SparkSession, tableRoot: String,
+      docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DedupRunResult = {
+    import org.apache.spark.sql.functions.col
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val obs = Observation(s"dedup-$runId")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.simhashPairs(docs, textCol, idCol,
+      maxHamming, stats = Some(obs))
+    val drops = Dedup.dupClusters(pairs, "a", "b")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("drop_id"))
+    drops.write.mode("overwrite").parquet(s"$tableRoot/dedup_drops")
+    val dropCount = spark.read.parquet(s"$tableRoot/dedup_drops").count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val row = obs.get
+    def m(k: String): Long =
+      row.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val res = DedupRunResult(runId, "simhash-cluster-dedup", dropCount,
+      m("buckets"), m("mega_buckets_dropped"), m("docs_in_mega_buckets"),
+      sec)
+    writeMetrics(spark, tableRoot, res)
+    res
+  }
+
   /** NEVER throws — a metrics write failure must not mask the dedup
     * run's real outcome (the ExtractionJob.writeMetrics contract). */
   private def writeMetrics(spark: SparkSession, tableRoot: String,

@@ -53,6 +53,29 @@ class DedupJobSpec extends SparkSpec {
     assert(metricsRow(root).getAs[Long]("docs_in_mega_buckets") == 300L)
   }
 
+  test("runSimhashDedup writes the cluster drop list and its metrics row") {
+    val root = tmpDir("graft-dedup-")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten"
+    // this spec pins the JOB plumbing (drop list written, keeper kept,
+    // metrics row) — the ≤3-bit near-dup semantics are pinned by the
+    // planted-fixture spec. d2/d3 differ from d1 only in whitespace and
+    // case, so their canonical forms collide (hamming 0 — found at the
+    // default budget in every band); unrelated d9 survives
+    val docs = Seq(
+      ("d1", base), ("d2", base.replace(" omega", "   OMEGA")),
+      ("d3", "  " + base.replace("alpha", "ALPHA") + " "),
+      ("d9", "completely different unrelated content about other things " +
+        "entirely with many distinct words in it")).toDF("doc_id", "text")
+    val res = DedupJob.runSimhashDedup(spark, root, docs, "text", "doc_id")
+    val drops = spark.read.parquet(s"$root/dedup_drops")
+      .collect().map(_.getString(0)).toSet
+    assert(drops == Set("d2", "d3"), s"keeper d1 + unrelated d9 survive, got $drops")
+    assert(res.pairs == 2L, "drop count reported")
+    assert(metricsRow(root).getAs[String]("operator") == "simhash-cluster-dedup")
+  }
+
   test("jaccard run discloses accumulator-counted drops (full membership)") {
     val root = tmpDir("graft-dedup-")
     // 70 identical docs (> the 64 cap) collide in all 4 minhash bands →
