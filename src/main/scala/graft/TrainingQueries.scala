@@ -209,6 +209,15 @@ object TrainingQueries {
         nCentroids = nc)
     }),
 
+    // one distributed Lloyd iteration over the coarse quantizer before
+    // probing — exact decimal(30,12) per-(cell,dim) sums make the
+    // refined centroids bit-deterministic across engines, so the oracle
+    // recomputes the full refinement in SQL and the probe set, cell
+    // assignment, and final top-k all agree
+    "q52_ivf_refined" -> ((s, dir) =>
+      Ann.ivfTopK(embs(s, dir), "embedding", "vec_id",
+        queryVec(s, dir), 10, refineIters = 1)),
+
     // BPE-ish regex token counting (letters / digits / punct runs) —
     // the subword-style counterpart of whitespace q20
     "q37_bpe_tokens" -> ((s, dir) =>
@@ -541,6 +550,8 @@ object TrainingQueries {
     "q46_ivf_sqrt" -> ivfSql(
       "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"),
 
+    "q52_ivf_refined" -> ivfRefinedSql,
+
     "q34_media_meta" ->
       """SELECT asset_id, kind, width, height, sample_rate, n_frames,
         |       payload_bytes, valid
@@ -601,6 +612,57 @@ object TrainingQueries {
        |cand AS (
        |  SELECT e2.vec_id, e2.embedding::DOUBLE[] AS e
        |  FROM embeddings e2 JOIN cells ON cells.vec_id = e2.vec_id
+       |  WHERE cells.cell IN (SELECT cidx FROM probes)),
+       |qn AS (SELECT $NormE AS q FROM q0),
+       |nn AS (SELECT vec_id, $NormE AS v FROM cand)
+       |SELECT vec_id, floor(list_dot_product(v, q) * 10000 + 0.5) / 10000 AS cos
+       |FROM nn, qn ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** IVF with one Lloyd refinement (q52): assign on the 16 lowest-id
+    * seed centroids, recompute non-empty cells as member means — exact
+    * DECIMAL(30,12) per-(cell,dim) sums, divide in DOUBLE, exactly the
+    * engine's [[Ann.ivfRefine]] arithmetic — empty cells keep their
+    * seed, then 4-probe exact rescan against the refined quantizer. */
+  private def ivfRefinedSql: String =
+    s"""WITH cents0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+       |         embedding::DOUBLE[] AS c
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |d0 AS (
+       |  SELECT v.vec_id, c.cidx, ${l2sqSql("v.e", "c.c")} AS dist
+       |  FROM v, cents0 c),
+       |cell0 AS (
+       |  SELECT vec_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+       |    FROM d0) WHERE rn = 1),
+       |sums AS (
+       |  SELECT cell, p.pos,
+       |    sum((e[p.pos+1])::DECIMAL(30,12)) AS s, count(*) AS n
+       |  FROM v JOIN cell0 USING (vec_id), range(64) p(pos)
+       |  GROUP BY cell, p.pos),
+       |refined AS (
+       |  SELECT cell AS cidx, list(s::DOUBLE / n ORDER BY pos) AS c
+       |  FROM sums GROUP BY cell),
+       |cents AS (
+       |  SELECT c0.cidx, coalesce(r.c, c0.c) AS c
+       |  FROM cents0 c0 LEFT JOIN refined r ON r.cidx = c0.cidx),
+       |q0 AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cidx FROM cents, q0
+       |  ORDER BY ${l2sqSql("c", "e")}, cidx LIMIT 4),
+       |d1 AS (
+       |  SELECT v.vec_id, c.cidx, ${l2sqSql("v.e", "c.c")} AS dist
+       |  FROM v, cents c),
+       |cells AS (
+       |  SELECT vec_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |cand AS (
+       |  SELECT v.vec_id, v.e
+       |  FROM v JOIN cells USING (vec_id)
        |  WHERE cells.cell IN (SELECT cidx FROM probes)),
        |qn AS (SELECT $NormE AS q FROM q0),
        |nn AS (SELECT vec_id, $NormE AS v FROM cand)

@@ -123,14 +123,48 @@ object Ann {
       .drop("_graft_v", "_graft_dists")
   }
 
+  /** One distributed Lloyd iteration over the coarse quantizer: assign
+    * every vector to its nearest centroid, recompute each non-empty
+    * cell's centroid as the member mean, keep the previous centroid for
+    * empty cells. The per-(cell, dim) sums are EXACT decimal sums —
+    * double summation is order-dependent across partitions, so a plain
+    * sum would make the refined centroids (and every boundary cell
+    * assignment downstream) nondeterministic run-to-run and
+    * engine-to-engine; decimal(30,12) sums are associative, and the
+    * final divide happens in double on both sides. The driver collect
+    * is the centroid table itself (nCentroids × dim ≈ √N·d rows — the
+    * standard bounded IVF-training step, like [[ivfCentroids]]).
+    */
+  def ivfRefine(df: DataFrame, vecCol: String,
+      cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val celled = withIvfCell(df, vecCol, cents, "_graft_cell")
+    val sums = celled
+      .select(col("_graft_cell").as("cell"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("x").cast("decimal(30,12)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val out = cents.map(_.clone)
+    sums.foreach { r =>
+      out(r.getInt(0) - 1)(r.getInt(1)) =
+        r.getDecimal(2).doubleValue() / r.getLong(3)
+    }
+    out
+  }
+
   /** @param nCentroids 16 suits the 500-2,000-vector test tables; at
     *   scale size it ~sqrt(N) (the standard IVF balance point between
     *   cell-scan cost and probe fan-out) — the oracle pins 16, so the
-    *   default stays fixed here. */
+    *   default stays fixed here.
+    * @param refineIters Lloyd iterations over the deterministic seed
+    *   centroids (0 = raw lowest-id seeds; 1-2 suffice for a coarse
+    *   quantizer — IVF needs balanced cells, not converged k-means). */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(df, vecCol, idCol, nCentroids)
+      nProbe: Int = 4, refineIters: Int = 0): DataFrame = {
+    var cents = ivfCentroids(df, vecCol, idCol, nCentroids)
+    for (_ <- 0 until refineIters) cents = ivfRefine(df, vecCol, cents)
     def dist(c: Array[Double]): Double =
       c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum
     val probes = cents.zipWithIndex

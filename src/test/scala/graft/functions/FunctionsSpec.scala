@@ -143,6 +143,26 @@ class AnnSpec extends SparkSpec {
     assert(largest4 < n, "4-probe scan is a strict subset of the corpus")
   }
 
+  test("ivf Lloyd refinement moves centroids deterministically") {
+    val q = embs.filter(col("vec_id") === 0)
+      .head().getSeq[Float](embs.columns.indexOf("embedding")).map(_.toDouble)
+    val seeds = Ann.ivfCentroids(embs, "embedding", "vec_id", 16)
+    val r1 = Ann.ivfRefine(embs, "embedding", seeds)
+    // refinement is not the identity (seeds are arbitrary lowest-id
+    // vectors, means move) and is bit-deterministic (decimal sums)
+    assert(r1.zip(seeds).exists { case (a, b) => !a.sameElements(b) })
+    val r1b = Ann.ivfRefine(embs, "embedding", seeds)
+    assert(r1.zip(r1b).forall { case (a, b) => a.sameElements(b) },
+      "exact decimal sums make the refined centroids run-stable")
+    // the refined quantizer still partitions and still finds the query
+    val celled = Ann.withIvfCell(embs, "embedding", r1, "c")
+    assert(celled.filter(col("c").isNull || col("c") < 1 || col("c") > 16)
+      .count() == 0)
+    val ivf = Ann.ivfTopK(embs, "embedding", "vec_id", q, 10,
+      refineIters = 1).collect()
+    assert(ivf.head.getLong(0) == 0L)
+  }
+
   test("native ArrayDot/ArrayL2Sq are bit-identical to the HOF folds") {
     import spark.implicits._
     val df = spark.range(0, 200).select(
@@ -423,6 +443,43 @@ class DedupSpec extends SparkSpec {
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
     val cGot = Dedup.dupClusters(chain, "a", "b").collect()
     assert(cGot.length == 10 && cGot.forall(_.getLong(1) == 0L))
+  }
+
+  test("dupClusters matches a union-find model on a random graph") {
+    // 300 deterministic random edges over 0..149: the distributed
+    // min-label propagation must agree with a sequential union-find on
+    // every vertex (min id per component); empty input yields empty
+    // output without error
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val edges = (0 until 300).map { i =>
+      (math.floorMod(mix(2 * i), 150).toLong,
+        math.floorMod(mix(2 * i + 1), 150).toLong)
+    }.filter { case (a, b) => a != b }
+    // sequential model: path-compressed union-find, then min id per root
+    val parent = Array.tabulate(150)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(ra) = rb
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = verts.map(v => v -> verts.filter(u =>
+      find(u.toInt) == find(v.toInt)).min).toMap
+    val got = Dedup.dupClusters(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // empty edge set: no vertices, no labels, no exception
+    assert(Dedup.dupClusters(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0)
   }
 
   test("lshNearDups pair count is bounded by bucket occupancy") {
