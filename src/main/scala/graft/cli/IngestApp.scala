@@ -62,15 +62,34 @@ object IngestApp {
       case "dedup" =>
         // content near-dedup of the COMMITTED extraction table: simhash
         // pairs (Hamming ≤ 3) → transitive clusters → drop list at
-        // <table>/dedup_drops + disclosure metrics; --input is unused
+        // <table>/dedup_drops + disclosure metrics; --input is unused.
+        // rowsWritten in the status line = dropped doc count.
         import org.apache.spark.sql.functions._
-        val view = new graft.table.SnapshotTable(table).read(spark)
-          .select(concat_ws(":", col("conv_id"), col("turn_idx"))
-            .as("doc_id"), col("extracted_text").as("text"))
-        val r = graft.pipeline.DedupJob.runSimhashDedup(
-          spark, table, view, "text", "doc_id")
-        ExtractionJob.JobResult("COMPLETED", 0L, r.pairs, 0,
-          new java.sql.Timestamp(0), Seq.empty, r.durationSec, None)
+        val tbl = new graft.table.SnapshotTable(table)
+        val hasData = tbl.currentSnapshotId.exists(tbl.dataPaths(_).nonEmpty)
+        if (!hasData) {
+          // a committed-but-empty table is an operationally normal
+          // state (first run matched nothing) — a clean zero-drop run,
+          // not an unresolved-column crash on the 0-column empty view
+          System.err.println("[graft] dedup skipped: table view empty")
+          ExtractionJob.JobResult("COMPLETED", 0L, 0L, 0,
+            new java.sql.Timestamp(0), Seq.empty, 0.0, None)
+        } else {
+          // doc_id = conv_id:turn_idx — null keys excluded (concat_ws
+          // silently SKIPS nulls, which would collide distinct rows;
+          // the extraction pipeline never emits them, but a drop list
+          // must not be able to name the wrong row). turn_idx is an
+          // int, so splitting on the LAST ':' recovers the key even
+          // when conv_id itself contains ':'.
+          val view = tbl.read(spark)
+            .filter(col("conv_id").isNotNull && col("turn_idx").isNotNull)
+            .select(concat_ws(":", col("conv_id"), col("turn_idx"))
+              .as("doc_id"), col("extracted_text").as("text"))
+          val r = graft.pipeline.DedupJob.runSimhashDedup(
+            spark, table, view, "text", "doc_id")
+          ExtractionJob.JobResult("COMPLETED", 0L, r.outputRows, 0,
+            new java.sql.Timestamp(0), Seq.empty, r.durationSec, None)
+        }
       case other => sys.error(s"unknown --mode $other")
     }
 
@@ -93,8 +112,11 @@ object IngestApp {
       }
     }
 
+    // "mode" disambiguates the line's semantics for parsers: in dedup
+    // mode rowsWritten is the DROP count and the watermark is epoch
+    // (dedup advances no watermark)
     println(
-      f"""{"status":"${result.status}","rowsWritten":${result.rowsWritten},"chunksCommitted":${result.chunksCommitted},"watermark":"${result.watermark}","turnsPerSec":${if (result.durationSec > 0) result.rowsWritten / result.durationSec else 0.0}%.1f,"error":${result.error.map("\"" + _.replace("\"", "'") + "\"").getOrElse("null")}}""")
+      f"""{"mode":"$mode","status":"${result.status}","rowsWritten":${result.rowsWritten},"chunksCommitted":${result.chunksCommitted},"watermark":"${result.watermark}","turnsPerSec":${if (result.durationSec > 0) result.rowsWritten / result.durationSec else 0.0}%.1f,"error":${result.error.map("\"" + _.replace("\"", "'") + "\"").getOrElse("null")}}""")
     spark.stop()
     if (result.status != "COMPLETED") sys.exit(1)
   }

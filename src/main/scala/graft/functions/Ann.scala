@@ -139,6 +139,10 @@ object Ann {
       cents: Array[Array[Double]]): Array[Array[Double]] = {
     val celled = withIvfCell(df, vecCol, cents, "_graft_cell")
     val sums = celled
+      // a ragged or null-element vector gets a null cell (ArrayL2Sq
+      // nulls on mismatch) — exclude it from the means, as the probe
+      // filter downstream already excludes it from every scan
+      .filter(col("_graft_cell").isNotNull)
       .select(col("_graft_cell").as("cell"),
         posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))

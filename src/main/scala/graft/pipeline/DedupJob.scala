@@ -14,38 +14,49 @@ import graft.functions.Dedup
   * without failing the batch, SlackNotification.java:73-105).
   *
   * Metrics schema (`<tableRoot>/dedup_metrics`, append):
-  * (run_id, operator, pairs, buckets, mega_buckets_dropped,
-  * docs_in_mega_buckets, duration_sec). `buckets` is −1 for the
-  * flatMapGroups jaccard path (its accumulators see only dropped
-  * groups; bucket totals would need a second aggregation over the
-  * exchange) and its drop counts are at-least-once under task retries —
-  * a metrics caveat, not a correctness one.
+  * (run_id, operator, output_rows, buckets, mega_buckets_dropped,
+  * docs_in_mega_buckets, duration_sec). `output_rows` is the run's
+  * primary result count — near-dup PAIRS for the pair generators,
+  * DROPPED DOC ids for the end-to-end [[runSimhashDedup]]; the
+  * `operator` column says which. `buckets` is −1 for the flatMapGroups
+  * jaccard path (its accumulators see only dropped groups; bucket
+  * totals would need a second aggregation over the exchange) and its
+  * drop counts are at-least-once under task retries — a metrics
+  * caveat, not a correctness one.
   */
 object DedupJob {
 
   final case class DedupRunResult(runId: String, operator: String,
-      pairs: Long, buckets: Long, megaBucketsDropped: Long,
+      outputRows: Long, buckets: Long, megaBucketsDropped: Long,
       docsInMegaBuckets: Long, durationSec: Double)
+
+  /** Shared run scaffolding for the Observation-accounted paths: run
+    * `body` against a fresh Observation, read the bucket metrics (an
+    * AQE-pruned CollectMetrics on an empty result reads as 0), write
+    * the disclosure row. `body` returns the run's output-row count. */
+  private def observedRun(spark: SparkSession, tableRoot: String,
+      operator: String, body: Observation => Long): DedupRunResult = {
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val obs = Observation(s"dedup-$runId")
+    val t0 = System.nanoTime()
+    val outputRows = body(obs)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val row = obs.get
+    def m(k: String): Long =
+      row.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val res = DedupRunResult(runId, operator, outputRows, m("buckets"),
+      m("mega_buckets_dropped"), m("docs_in_mega_buckets"), sec)
+    writeMetrics(spark, tableRoot, res)
+    res
+  }
 
   /** simhash / embedding / lsh near-dups: exact observation-based
     * accounting. The caller builds the pairs DataFrame against the
     * provided Observation (e.g. `Dedup.simhashPairs(df, "text", "id",
     * maxHamming = 3, stats = Some(obs))`). */
   def runObserved(spark: SparkSession, tableRoot: String, operator: String,
-      build: Observation => DataFrame): DedupRunResult = {
-    val runId = java.util.UUID.randomUUID().toString.take(8)
-    val obs = Observation(s"dedup-$runId")
-    val t0 = System.nanoTime()
-    val pairs = build(obs).count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val row = obs.get
-    def m(k: String): Long =
-      row.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val res = DedupRunResult(runId, operator, pairs, m("buckets"),
-      m("mega_buckets_dropped"), m("docs_in_mega_buckets"), sec)
-    writeMetrics(spark, tableRoot, res)
-    res
-  }
+      build: Observation => DataFrame): DedupRunResult =
+    observedRun(spark, tableRoot, operator, obs => build(obs).count())
 
   /** ngramJaccardPairs: accumulator-based accounting (the bucket-local
     * flatMapGroups path has no declarative aggregation to observe). */
@@ -66,33 +77,22 @@ object DedupJob {
     * `--mode dedup`): simhash pairs at the ≤3-bit operating point →
     * transitive clusters → drop list (every cluster member except its
     * min-id keeper) written to `<tableRoot>/dedup_drops`, with the
-    * occupancy-drop disclosure row in the metrics table. The
-    * observation fills during cluster propagation's own actions — no
-    * extra pass over the corpus. */
+    * occupancy-drop disclosure row in the metrics table
+    * (output_rows = dropped doc count). The observation fills during
+    * cluster propagation's own actions — no extra pass over the corpus. */
   def runSimhashDedup(spark: SparkSession, tableRoot: String,
       docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DedupRunResult = {
-    import org.apache.spark.sql.functions.col
-    val runId = java.util.UUID.randomUUID().toString.take(8)
-    val obs = Observation(s"dedup-$runId")
-    val t0 = System.nanoTime()
-    val pairs = Dedup.simhashPairs(docs, textCol, idCol,
-      maxHamming, stats = Some(obs))
-    val drops = Dedup.dupClusters(pairs, "a", "b")
-      .filter(col("id") =!= col("cluster"))
-      .select(col("id").as("drop_id"))
-    drops.write.mode("overwrite").parquet(s"$tableRoot/dedup_drops")
-    val dropCount = spark.read.parquet(s"$tableRoot/dedup_drops").count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val row = obs.get
-    def m(k: String): Long =
-      row.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val res = DedupRunResult(runId, "simhash-cluster-dedup", dropCount,
-      m("buckets"), m("mega_buckets_dropped"), m("docs_in_mega_buckets"),
-      sec)
-    writeMetrics(spark, tableRoot, res)
-    res
-  }
+      maxHamming: Int = 3): DedupRunResult =
+    observedRun(spark, tableRoot, "simhash-cluster-dedup", { obs =>
+      import org.apache.spark.sql.functions.col
+      val pairs = Dedup.simhashPairs(docs, textCol, idCol,
+        maxHamming, stats = Some(obs))
+      val drops = Dedup.dupClusters(pairs, "a", "b")
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("drop_id"))
+      drops.write.mode("overwrite").parquet(s"$tableRoot/dedup_drops")
+      spark.read.parquet(s"$tableRoot/dedup_drops").count()
+    })
 
   /** NEVER throws — a metrics write failure must not mask the dedup
     * run's real outcome (the ExtractionJob.writeMetrics contract). */
@@ -100,9 +100,9 @@ object DedupJob {
       r: DedupRunResult): Unit =
     try {
       import spark.implicits._
-      Seq((r.runId, r.operator, r.pairs, r.buckets, r.megaBucketsDropped,
-        r.docsInMegaBuckets, r.durationSec))
-        .toDF("run_id", "operator", "pairs", "buckets",
+      Seq((r.runId, r.operator, r.outputRows, r.buckets,
+        r.megaBucketsDropped, r.docsInMegaBuckets, r.durationSec))
+        .toDF("run_id", "operator", "output_rows", "buckets",
           "mega_buckets_dropped", "docs_in_mega_buckets", "duration_sec")
         .write.mode("append").parquet(s"$tableRoot/dedup_metrics")
     } catch {

@@ -28,7 +28,7 @@ class DedupJobSpec extends SparkSpec {
     val res = DedupJob.runObserved(spark, root, "simhash",
       obs => Dedup.simhashPairs(docs, "text", "doc_id",
         maxHamming = 10, stats = Some(obs)))
-    assert(res.pairs == 1L)
+    assert(res.outputRows == 1L)
     assert(res.megaBucketsDropped == 4L)
     assert(res.docsInMegaBuckets == 400L)
     val row = metricsRow(root)
@@ -46,7 +46,7 @@ class DedupJobSpec extends SparkSpec {
     val res = DedupJob.runObserved(spark, root, "embedding",
       obs => Dedup.embeddingNearDups(df, "embedding", "vec_id", "label",
         threshold = 0.9, stats = Some(obs)))
-    assert(res.pairs == 1L)
+    assert(res.outputRows == 1L)
     assert(res.buckets == 2L)
     assert(res.megaBucketsDropped == 1L)
     assert(res.docsInMegaBuckets == 300L)
@@ -72,7 +72,7 @@ class DedupJobSpec extends SparkSpec {
     val drops = spark.read.parquet(s"$root/dedup_drops")
       .collect().map(_.getString(0)).toSet
     assert(drops == Set("d2", "d3"), s"keeper d1 + unrelated d9 survive, got $drops")
-    assert(res.pairs == 2L, "drop count reported")
+    assert(res.outputRows == 2L, "drop count reported as output_rows")
     assert(metricsRow(root).getAs[String]("operator") == "simhash-cluster-dedup")
   }
 
@@ -88,7 +88,7 @@ class DedupJobSpec extends SparkSpec {
     val res = DedupJob.runJaccard(spark, root, "jaccard",
       acc => Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 3, threshold = 0.5, stats = Some(acc)))
-    assert(res.pairs == 1L)
+    assert(res.outputRows == 1L)
     assert(res.megaBucketsDropped == 4L)
     assert(res.docsInMegaBuckets == 280L, "true membership, not the peek cap")
     assert(res.buckets == -1L, "bucket totals not tracked on this path")
