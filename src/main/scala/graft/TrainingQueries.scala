@@ -218,6 +218,35 @@ object TrainingQueries {
       Ann.ivfTopK(embs(s, dir), "embedding", "vec_id",
         queryVec(s, dir), 10, refineIters = 1)),
 
+    // deterministic stratified sampling: keep a doc iff the FNV of its
+    // id lands under the per-language rate (en 20%, rest 10%) — the
+    // reproducible subsetting primitive every corpus pipeline needs
+    // (re-runs and engines agree doc-for-doc, unlike rand()-sampling);
+    // both sides compute pmod on the SIGNED hash value
+    "q53_hash_sample" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          pmod(Expressions.fnv1a64(col("doc_id").cast("string")), lit(100L))
+            .as("bucket"))
+        .filter(col("bucket") <
+          when(col("lang") === "en", lit(20L)).otherwise(lit(10L)))),
+
+    // token-budget shard packing: per-source running token sum assigns
+    // each doc to the shard its first token lands in — the greedy
+    // sequence-packing step that turns a filtered corpus into
+    // ~fixed-size training shards. Integer window sums → exact oracle.
+    "q54_token_packing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / 2000).cast("int").as("shard"))
+    }),
+
     // BPE-ish regex token counting (letters / digits / punct runs) —
     // the subword-style counterpart of whitespace q20
     "q37_bpe_tokens" -> ((s, dir) =>
@@ -551,6 +580,23 @@ object TrainingQueries {
       "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"),
 
     "q52_ivf_refined" -> ivfRefinedSql,
+
+    "q53_hash_sample" -> {
+      val bucket =
+        s"((${toSigned(fnvSql("(doc_id::VARCHAR)"))} % 100) + 100) % 100"
+      s"""SELECT doc_id, lang, $bucket AS bucket FROM documents
+         |WHERE $bucket < (CASE WHEN lang = 'en' THEN 20 ELSE 10 END)""".stripMargin
+    },
+
+    "q54_token_packing" ->
+      s"""SELECT source, doc_id,
+         |  (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($TOK) END)::BIGINT AS n_tok,
+         |  CAST(floor((sum((CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($TOK) END)::BIGINT)
+         |      OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS UNBOUNDED PRECEDING)
+         |    - (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($TOK) END)::BIGINT) / 2000)
+         |    AS INT) AS shard
+         |FROM documents""".stripMargin,
 
     "q34_media_meta" ->
       """SELECT asset_id, kind, width, height, sample_rate, n_frames,
