@@ -218,6 +218,30 @@ object TrainingQueries {
       Ann.ivfTopK(embs(s, dir), "embedding", "vec_id",
         queryVec(s, dir), 10, refineIters = 1)),
 
+    // two-pass corpus-statistics scoring (the CCNet-style LM-filter
+    // proxy): pass 1 builds the corpus unigram distribution, pass 2
+    // scores each doc by its mean token surprisal −ln(cnt/total). The
+    // per-token surprisal is floor-quantized to 4 decimals and summed
+    // as DECIMAL(18,4) — double summation is partition-order-dependent,
+    // so a plain avg() would be nondeterministic run-to-run and
+    // engine-to-engine; the quantized decimal sum is exact, and the
+    // final divide-by-count happens in double identically on both sides
+    "q55_unigram_surprisal" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("total"))
+      toks.join(freq, "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          Ann.round4(-log(col("cnt").cast("double") /
+            col("total").cast("double"))).cast("decimal(18,4)").as("surp"))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("surp")).cast("double") /
+          count(lit(1)).cast("double")).as("raw"))
+        .select(col("doc_id"), Ann.round4(col("raw")).as("surprisal"))
+    }),
+
     // deterministic stratified sampling: keep a doc iff the FNV of its
     // id lands under the per-language rate (en 20%, rest 10%) — the
     // reproducible subsetting primitive every corpus pipeline needs
@@ -580,6 +604,21 @@ object TrainingQueries {
       "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"),
 
     "q52_ivf_refined" -> ivfRefinedSql,
+
+    "q55_unigram_surprisal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         |tot AS (SELECT sum(cnt) AS total FROM freq),
+         |surp AS (
+         |  SELECT doc_id,
+         |    (floor(-ln(cnt::DOUBLE / total::DOUBLE) * 10000 + 0.5) / 10000)::DECIMAL(18,4) AS s
+         |  FROM toks JOIN freq USING (tok), tot)
+         |SELECT doc_id,
+         |  floor((sum(s)::DOUBLE / count(*)) * 10000 + 0.5) / 10000 AS surprisal
+         |FROM surp GROUP BY doc_id""".stripMargin,
 
     "q53_hash_sample" -> {
       val bucket =
