@@ -218,6 +218,28 @@ object TrainingQueries {
       Ann.ivfTopK(embs(s, dir), "embedding", "vec_id",
         queryVec(s, dir), 10, refineIters = 1)),
 
+    // eval-set decontamination: flag every TRAIN doc sharing an 8-gram
+    // with the EVAL corpus (the standard n-gram overlap rule). Both
+    // sides derive eval = every 50th doc and inject known-contaminated
+    // train copies of it (id+200000) so the check has true positives at
+    // any sf; grams ride the semi join as 8-byte FNV longs (the q45
+    // shuffle lever), and the broadcast of the eval gram set is the
+    // 100 TB shape — eval corpora are small, train corpora are not
+    "q56_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val evalDocs = d.filter(col("doc_id") % 50 === 0)
+      val train = d.filter(col("doc_id") % 50 =!= 0)
+        .unionByName(evalDocs.withColumn("doc_id", col("doc_id") + 200000))
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(Expressions.arrayFnv1a64(
+          TextFunctions.shinglesFromTokens(col("t"), 8))).as("g"))
+      val evalGrams = grams(evalDocs).select(col("g")).distinct()
+      grams(train)
+        .join(broadcast(evalGrams), Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+    }),
+
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
     // scores each doc by its mean token surprisal −ln(cnt/total). The
@@ -604,6 +626,26 @@ object TrainingQueries {
       "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"),
 
     "q52_ivf_refined" -> ivfRefinedSql,
+
+    "q56_decontaminate" -> {
+      val gramJoin = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
+         |ev AS (SELECT * FROM d WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, t FROM d WHERE doc_id % 50 <> 0
+         |       UNION ALL SELECT doc_id + 200000, t FROM ev),
+         |evg AS (
+         |  SELECT DISTINCT ${fnvSql("g")} AS h FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)-6),
+         |      i -> $gramJoin)) AS g
+         |    FROM ev)),
+         |trg AS (
+         |  SELECT doc_id, ${fnvSql("g")} AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t)-6),
+         |      i -> $gramJoin)) AS g
+         |    FROM tr))
+         |SELECT DISTINCT doc_id FROM trg
+         |WHERE h IN (SELECT h FROM evg)""".stripMargin
+    },
 
     "q55_unigram_surprisal" ->
       s"""WITH toks AS (
