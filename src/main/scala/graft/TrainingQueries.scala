@@ -230,8 +230,13 @@ object TrainingQueries {
       val evalDocs = d.filter(col("doc_id") % 50 === 0)
       val train = d.filter(col("doc_id") % 50 =!= 0)
         .unionByName(evalDocs.withColumn("doc_id", col("doc_id") + 200000))
+      // null text yields null tokens but a NON-null [""] shingle list
+      // (the greatest() null-skip — same hazard ngramJaccardPairs
+      // filters, Dedup.scala), which would plant a phantom FNV("")
+      // gram the oracle never emits — drop null-token docs first
       def grams(df: DataFrame) = df
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .filter(col("t").isNotNull)
         .select(col("doc_id"), explode(Expressions.arrayFnv1a64(
           TextFunctions.shinglesFromTokens(col("t"), 8))).as("g"))
       val evalGrams = grams(evalDocs).select(col("g")).distinct()
@@ -247,7 +252,13 @@ object TrainingQueries {
     // as DECIMAL(18,4) — double summation is partition-order-dependent,
     // so a plain avg() would be nondeterministic run-to-run and
     // engine-to-engine; the quantized decimal sum is exact, and the
-    // final divide-by-count happens in double identically on both sides
+    // final divide-by-count happens in double identically on both
+    // sides. Residual cross-engine caveat: ln is a transcendental —
+    // Math.log and DuckDB's libm are each ~1-ulp accurate, not
+    // correctly rounded, so a token whose surprisal sits within 1 ulp
+    // (~1e-12 relative) of a 1e-4 quantization boundary could flip —
+    // ~1e-8 per token, disclosed rather than pretended away (every
+    // other oracle sticks to IEEE-exact + - * / and sqrt)
     "q55_unigram_surprisal" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("doc_id"),
         explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
