@@ -50,18 +50,23 @@ object Bench {
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
-      // min of 2 good reps; >2× disagreement (external load hit one
-      // rep) → one tie-breaker rep, still min
-      val (t1, t2) = (once(), once())
-      if (t1 < 0 || t2 < 0) name -> -1.0
-      else {
-        val best = math.min(t1, t2)
-        val t = if (best > 0.3 && math.max(t1, t2) > 2 * best) {
-          val t3 = once()
-          if (t3 < 0) best else math.min(best, t3)
-        } else best
-        name -> t
-      }
+      // min of 2 good reps; >2× disagreement OR a single transient
+      // failure (external load can kill one rep of a healthy query) →
+      // one tie-breaker rep, still min of successes; FAILED only when
+      // no rep succeeds
+      val good = Seq(once(), once()).filter(_ >= 0)
+      val t =
+        if (good.isEmpty) -1.0
+        else {
+          val best = good.min
+          val retry = good.size < 2 ||
+            (best > 0.3 && good.max > 2 * best)
+          if (retry) {
+            val t3 = once()
+            if (t3 >= 0) math.min(best, t3) else best
+          } else best
+        }
+      name -> t
     }
     val failed = results.collect { case (n, t) if t < 0 => n }
 

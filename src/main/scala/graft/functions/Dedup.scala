@@ -429,8 +429,12 @@ object Dedup {
           .filter(col("label") < col("old")).count()
         // the superseded checkpoint is dead after `changed` — release
         // its blocks now instead of pinning maxIter label tables in the
-        // block manager until driver GC notices
-        labels.unpersist(blocking = false)
+        // block manager until driver GC notices. Dataset.unpersist is a
+        // no-op here (localCheckpoint persists at the RDD level, which
+        // the CacheManager doesn't track), so the checkpointed RDD
+        // behind the plan's LogicalRDD leaf is unpersisted directly —
+        // safe ONLY because the superseded table is never read again.
+        freeLocalCheckpoint(labels)
         labels = next
         converged = changed == 0
         iter += 1
@@ -442,4 +446,16 @@ object Dedup {
       labels.select(col("id"), col("label").as("cluster"))
     } finally sym.unpersist(blocking = false)
   }
+
+  /** Release the block-manager storage behind a `localCheckpoint(true)`
+    * Dataset. Must only be called on a table that will NEVER be read
+    * again: local checkpointing truncates lineage, so the persisted
+    * blocks ARE the data — unpersisting them makes the Dataset
+    * unrecomputable by design. */
+  private def freeLocalCheckpoint(ds: DataFrame): Unit =
+    ds.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

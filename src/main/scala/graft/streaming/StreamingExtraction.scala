@@ -76,6 +76,9 @@ object StreamingExtraction {
         md5(graft.functions.TextFunctions.normText(col("text"))))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
+      // the fingerprint is dedup state, not output: keep the caller's
+      // schema so the survivors wire into any turns-schema sink
+      .drop("fp")
 
   /** Per-conversation rolling state (arbitrary stateful processing —
     * KeyValueGroupedDataset.mapGroupsWithState): turn counts, payload

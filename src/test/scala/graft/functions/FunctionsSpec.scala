@@ -440,9 +440,17 @@ class DedupSpec extends SparkSpec {
     assert(sGot == Map("da" -> "da", "db" -> "da", "dc" -> "da",
       "x1" -> "x1", "x2" -> "x1"))
     // a long path stresses the propagation loop (diameter 9 < maxIter)
+    // AND the per-round checkpoint release: superseded label tables
+    // must not accumulate in the block manager (Dataset.unpersist is a
+    // no-op on localCheckpoint'd tables — the RDD must be freed)
+    val before = spark.sparkContext.getPersistentRDDs.size
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
     val cGot = Dedup.dupClusters(chain, "a", "b").collect()
     assert(cGot.length == 10 && cGot.forall(_.getLong(1) == 0L))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"only the returned labels table may stay persisted " +
+        s"(before=$before after=$after)")
   }
 
   test("dupClusters matches a union-find model on a random graph") {

@@ -72,7 +72,11 @@ class StreamingExtractionSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
-    val got = spark.read.parquet(out).select("conv_id")
+    val result = spark.read.parquet(out)
+    assert(result.columns.sorted.sameElements(
+      StreamingExtraction.turnSchema.fieldNames.sorted),
+      "fingerprint staging column never reaches the sink schema")
+    val got = result.select("conv_id")
       .collect().map(_.getString(0)).toSet
     // one survivor per distinct canonical content: c1/c2/c4 collapse
     // (normText folds case+whitespace), c3 is its own content
