@@ -149,13 +149,21 @@ object Dedup {
     * 3-grams), identical Jaccard up to hash collisions (~2⁻⁶⁴ per
     * comparison). Oracle-pinned by q45 (the DuckDB side hashes its
     * grams with the same FNV arithmetic).
+    *
+    * `fastMinhash = true` swaps the md5 signature/band hashing for
+    * codegen'd xxhash64 (8-byte band keys, ~4× less signature CPU) —
+    * a different but equally valid MinHash family, so candidates
+    * differ hash-for-hash while the verified output stays exact
+    * Jaccard; md5 stays the default because the DuckDB oracles
+    * reproduce it bit-exactly. Spec-pinned on planted near-dups.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.7,
       k: Int = 16, rows: Int = 4,
       maxBucket: Int = MaxBucketForPairs,
       hashShingles: Boolean = false,
-      stats: Option[BucketAccounting] = None): DataFrame = {
+      stats: Option[BucketAccounting] = None,
+      fastMinhash: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val idType = df.schema(idCol).dataType
@@ -173,12 +181,21 @@ object Dedup {
       .filter(col("id").isNotNull && col("toks").isNotNull)
       .select(col("id"),
         TextFunctions.shinglesFromTokens(col("toks"), n).as("sh_raw"),
-        TextFunctions.minhashSigFromTokens(array_distinct(col("toks")), k)
+        (if (fastMinhash)
+          TextFunctions.minhashSigFromTokensFast(array_distinct(col("toks")), k)
+        else
+          TextFunctions.minhashSigFromTokens(array_distinct(col("toks")), k))
           .as("sig"))
+    // band keys ride the group stage as strings on both hash families
+    // (a cast long for the fast path — still ≤20 bytes vs 32-hex md5)
+    val bandKeys =
+      if (fastMinhash)
+        transform(TextFunctions.bandKeysFromSigFast(col("sig"), k, rows),
+          _.cast("string"))
+      else TextFunctions.bandKeysFromSig(col("sig"), k, rows)
     def banded(shCol: org.apache.spark.sql.Column) = staged
       .select(col("id"), shCol.as("sh"),
-        posexplode(TextFunctions.bandKeysFromSig(col("sig"), k, rows))
-          .as(Seq("band", "band_key")))
+        posexplode(bandKeys).as(Seq("band", "band_key")))
     val pairs =
       if (hashShingles)
         banded(Expressions.arrayFnv1a64(col("sh_raw")))

@@ -117,6 +117,28 @@ object TextFunctions {
       array_min(transform(toks, tok => md5(concat(lit(s"$i:"), tok))))
     }: _*)
 
+  /** The 100 TB CPU/shuffle lever of [[minhashSigFromTokens]]: k
+    * codegen'd xxhash64 longs per doc instead of k md5 hex strings
+    * (~4× less signature CPU, 8-byte components instead of 32-char
+    * hex). md5 stays the DEFAULT because the DuckDB oracles reproduce
+    * it exactly; the fast variant is an equally valid MinHash family
+    * (different hash ⇒ different — not worse — LSH candidates),
+    * spec-pinned on planted near-dups rather than oracle-pinned. */
+  def minhashSigFromTokensFast(toks: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(toks, tok => xxhash64(lit(i), tok)))
+    }: _*)
+
+  /** Band keys from a fast (long) signature: one xxhash64 over the
+    * band's components — an 8-byte key on the exchange instead of a
+    * 32-char md5 hex. */
+  def bandKeysFromSigFast(sig: Column, k: Int, rows: Int): Column = {
+    val bands = k / rows
+    array((0 until bands).map { b =>
+      xxhash64((0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
+    }: _*)
+  }
+
   /** MinHash signature of raw text (single-Project convenience; for
     * anything followed by band hashing, stage via minhashSigFromTokens). */
   def minhashSignature(c: Column, k: Int): Column =

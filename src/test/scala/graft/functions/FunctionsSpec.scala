@@ -343,6 +343,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("fast (xxhash64) minhash family finds the same verified near-dups") {
+    // different hash family ⇒ different LSH candidates, but verified
+    // output is exact Jaccard either way — on clear near-dups (high
+    // band-collision probability for both families) the survivor sets
+    // agree; combined with hashed shingles it is the full 8-byte-keys
+    // fast path
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"),
+      (3L, base.replace("word7", "seven")),
+      (9L, (100 to 140).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(fast: Boolean, hashed: Boolean) =
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.5, hashShingles = hashed, fastMinhash = fast)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val md5Pairs = run(fast = false, hashed = false)
+    assert(md5Pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(run(fast = true, hashed = false) == md5Pairs)
+    assert(run(fast = true, hashed = true) == md5Pairs)
+  }
+
   test("hashed-shingle jaccard matches the string-shingle path exactly") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
