@@ -94,7 +94,7 @@ object Bench {
     // FixtureGen convention) — a cwd-relative path leaves a stale
     // artifact whenever the bench runs from outside the repo root.
     try {
-      val dir = java.nio.file.Paths.get("/root/repo/BENCH")
+      val dir = java.nio.file.Paths.get(RepoRoot.dir, "BENCH")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve("last_bench.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -414,14 +414,14 @@ object SparkEntry {
     // never via the extractor): the DuckDB compare proves
     // extractor == golden on every driver round.
     "q15_extract_pipeline" ->
-      """SELECT conv_id, turn_idx, payload_kind, extracted_text, n_spans
-        |FROM read_parquet('/root/repo/fixtures/golden_extract_sf001.parquet')""".stripMargin,
+      s"""SELECT conv_id, turn_idx, payload_kind, extracted_text, n_spans
+        |FROM read_parquet('${graft.RepoRoot.fixtures}/golden_extract_sf001.parquet')""".stripMargin,
 
     "q16_extract_kind_stats" ->
-      """SELECT payload_kind, count(*) AS n,
+      s"""SELECT payload_kind, count(*) AS n,
         |  CAST(sum(length(extracted_text)) AS BIGINT) AS chars,
         |  CAST(sum(n_spans) AS BIGINT) AS spans
-        |FROM read_parquet('/root/repo/fixtures/golden_extract_sf001.parquet')
+        |FROM read_parquet('${graft.RepoRoot.fixtures}/golden_extract_sf001.parquet')
         |GROUP BY payload_kind""".stripMargin
   )
 }

@@ -262,16 +262,41 @@ object TrainingQueries {
     "q55_unigram_surprisal" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("doc_id"),
         explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      // pre-aggregate (doc_id, tok, n) BEFORE the frequency join: the
+      // per-occurrence token table is ~corpus bytes again and its join
+      // key is Zipfian ("the" alone is a few percent of all rows) — the
+      // grouped table shrinks by the per-doc repetition factor and its
+      // (doc_id, tok) shuffle key is even, with map-side partial agg
+      // soaking up the in-doc repeats. Exactness is preserved: summing
+      // the quantized DECIMAL surprisal n times == surp * n in DECIMAL.
+      val docTok = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+        // persisted: freq (and through it tot/head/tail) re-derives
+        // from this cache, so the corpus text is tokenized exactly ONCE
+        // per query instead of once per consuming subtree
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val freq = docTok.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
       val tot = freq.agg(sum(col("cnt")).as("total"))
-      toks.join(freq, "tok")
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"),
+      // score the vocabulary once (one row per distinct token), then
+      // split it: the top of the Zipf head is tiny and covers most
+      // occurrences, so it BROADCASTS — only (doc,tok) rows whose token
+      // misses the head shuffle on the (still skewed, but now
+      // head-free) tok key, where AQE skew-split handles the residue
+      val surp = freq.crossJoin(broadcast(tot))
+        .select(col("tok"), col("cnt"),
           Ann.round4(-log(col("cnt").cast("double") /
             col("total").cast("double"))).cast("decimal(18,4)").as("surp"))
+      val head = broadcast(
+        surp.orderBy(col("cnt").desc, col("tok")).limit(1024)
+          .select(col("tok"), col("surp")))
+      val withHead = docTok.join(head, Seq("tok"), "left")
+      val scored = withHead.filter(col("surp").isNotNull)
+        .unionByName(withHead.filter(col("surp").isNull).drop("surp")
+          .join(surp.select(col("tok"), col("surp")), "tok"))
+      scored
         .groupBy(col("doc_id"))
-        .agg((sum(col("surp")).cast("double") /
-          count(lit(1)).cast("double")).as("raw"))
+        .agg((sum(col("surp") * col("n")).cast("double") /
+          sum(col("n")).cast("double")).as("raw"))
         .select(col("doc_id"), Ann.round4(col("raw")).as("surprisal"))
     }),
 
@@ -691,21 +716,21 @@ object TrainingQueries {
          |FROM documents""".stripMargin,
 
     "q34_media_meta" ->
-      """SELECT asset_id, kind, width, height, sample_rate, n_frames,
+      s"""SELECT asset_id, kind, width, height, sample_rate, n_frames,
         |       payload_bytes, valid
-        |FROM read_parquet('/root/repo/fixtures/media_meta_500.parquet')""".stripMargin,
+        |FROM read_parquet('${graft.RepoRoot.fixtures}/media_meta_500.parquet')""".stripMargin,
 
     "q35_media_features" ->
-      """SELECT asset_id, kind, feat_norm2
-        |FROM read_parquet('/root/repo/fixtures/media_features_500.parquet')""".stripMargin,
+      s"""SELECT asset_id, kind, feat_norm2
+        |FROM read_parquet('${graft.RepoRoot.fixtures}/media_features_500.parquet')""".stripMargin,
 
     "q36_frame_sample" ->
-      """SELECT asset_id, frame_idx, frame_bytes
-        |FROM read_parquet('/root/repo/fixtures/media_frames_500.parquet')""".stripMargin,
+      s"""SELECT asset_id, frame_idx, frame_bytes
+        |FROM read_parquet('${graft.RepoRoot.fixtures}/media_frames_500.parquet')""".stripMargin,
 
     "q40_image_resize" ->
-      """SELECT asset_id, width, height, payload_bytes
-        |FROM read_parquet('/root/repo/fixtures/media_resize_500.parquet')""".stripMargin,
+      s"""SELECT asset_id, width, height, payload_bytes
+        |FROM read_parquet('${graft.RepoRoot.fixtures}/media_resize_500.parquet')""".stripMargin,
 
     "q41_lsh_neardups" -> lshNearDupsSql(8),
 
@@ -775,10 +800,13 @@ object TrainingQueries {
        |    SELECT vec_id, cidx,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
        |    FROM d0) WHERE rn = 1),
+       |dims AS (
+       |  SELECT unnest(range((SELECT len(embedding::DOUBLE[])
+       |                       FROM embeddings WHERE vec_id = 0))) AS pos),
        |sums AS (
        |  SELECT cell, p.pos,
        |    sum((e[p.pos+1])::DECIMAL(30,12)) AS s, count(*) AS n
-       |  FROM v JOIN cell0 USING (vec_id), range(64) p(pos)
+       |  FROM v JOIN cell0 USING (vec_id), dims p
        |  GROUP BY cell, p.pos),
        |refined AS (
        |  SELECT cell AS cidx, list(s::DOUBLE / n ORDER BY pos) AS c

@@ -26,7 +26,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FixtureGen {
 
-  val FixtureDir = "/root/repo/fixtures"
+  val FixtureDir: String = graft.RepoRoot.fixtures
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -108,6 +108,13 @@ object Dedup {
   def minhashLshBuckets(df: DataFrame, textCol: String, idCol: String,
       k: Int = 16, rows: Int = 4,
       maxBucket: Int = MaxBucketForPairs): DataFrame = {
+    // persisted because TWO subtrees consume it (the occupancy counts
+    // and the membership join): without the cache each consumer re-scans
+    // the source and re-computes the k-hash signature over the full
+    // corpus text — at 100 TB that is two text passes for one logical
+    // one. The cached relation is (id, band, band_key) — tens of bytes
+    // per row, nothing payload-sized — and the CacheManager keys on the
+    // analyzed plan, so repeated runs of the same query reuse one entry.
     val banded = df.select(col(idCol),
         array_distinct(TextFunctions.tokens(col(textCol))).as("toks"))
       .select(col(idCol),
@@ -115,6 +122,7 @@ object Dedup {
       .select(col(idCol),
         posexplode(TextFunctions.bandKeysFromSig(col("sig"), k, rows))
           .as(Seq("band", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = banded.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
@@ -312,12 +320,20 @@ object Dedup {
     val hashed = df.select(col(idCol).as("id"),
       Expressions.simhash64(TextFunctions.normText(col(textCol))).as("sh"))
       .filter(col("id").isNotNull && col("sh").isNotNull)
+    // persisted: FOUR subtrees consume this relation (the occupancy
+    // counts plus both sides of the self-join, each also re-deriving
+    // `ok`), and AQE exchange reuse cannot merge them — the counts
+    // subtree is column-pruned differently and the small join side goes
+    // through a BroadcastExchange — so without the cache the corpus
+    // text would be scanned and simhash64-hashed up to 4× per query
+    // (round-3 PLANS.md showed exactly four redundant FileScans). The
+    // cached rows are (id, sh:long, band:int, key:long) — 16 bytes of
+    // hash per doc-band, never the payload.
     val banded = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "key")))
-    // both the aggregation and the self-join shuffle on (band, key), so
-    // AQE reuses one exchange of the banded relation
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
     val ok = observeBuckets(counts, stats, maxBucket)

@@ -42,8 +42,13 @@ object DedupJob {
     val outputRows = body(obs)
     val sec = (System.nanoTime() - t0) / 1e9
     val row = obs.get
-    def m(k: String): Long =
-      row.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // sum() over an all-dropped/empty run observes SQL NULL, which
+    // arrives as Some(null) — match the boxed Long explicitly so the
+    // NULL-metric → 0 path is intentional, not a null-unboxing quirk
+    def m(k: String): Long = row.get(k) match {
+      case Some(v: java.lang.Long) => v.longValue()
+      case _ => 0L
+    }
     val res = DedupRunResult(runId, operator, outputRows, m("buckets"),
       m("mega_buckets_dropped"), m("docs_in_mega_buckets"), sec)
     writeMetrics(spark, tableRoot, res)

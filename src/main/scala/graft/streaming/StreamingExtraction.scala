@@ -70,15 +70,23 @@ object StreamingExtraction {
     * lateness window's distinct-content volume — not by stream
     * lifetime. */
   def dedupByContentStream(turns: DataFrame,
-      lateness: String = "7 days"): DataFrame =
-    turns
-      .withColumn("fp",
-        md5(graft.functions.TextFunctions.normText(col("text"))))
+      lateness: String = "7 days"): DataFrame = {
+    val withFp = turns.withColumn("fp",
+      md5(graft.functions.TextFunctions.normText(col("text"))))
+    // null text → null fingerprint, and dropDuplicatesWithinWatermark
+    // treats null keys as EQUAL — without the split every null-text
+    // turn (e.g. tool-only turns) after the first inside the lateness
+    // window would be silently dropped despite being a distinct row.
+    // Same discipline as the batch paths (simhashPairs, IngestApp
+    // dedup): null keys are excluded from dedup, never conflated.
+    val deduped = withFp.filter(col("fp").isNotNull)
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
+    deduped.unionByName(withFp.filter(col("fp").isNull))
       // the fingerprint is dedup state, not output: keep the caller's
       // schema so the survivors wire into any turns-schema sink
       .drop("fp")
+  }
 
   /** Per-conversation rolling state (arbitrary stateful processing —
     * KeyValueGroupedDataset.mapGroupsWithState): turn counts, payload

@@ -59,8 +59,12 @@ class StreamingExtractionSpec extends SparkSpec {
       ("c3", 0, "user", "a different doc", null.asInstanceOf[String], ts(2)))
       .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
       .write.mode("append").parquet(in)
+    // null-text turns (e.g. tool-only) have a null fingerprint: dedup
+    // must NOT conflate them — every one passes through untouched
     Seq(
-      ("c4", 0, "user", "the same doc body", null.asInstanceOf[String], ts(3)))
+      ("c4", 0, "user", "the same doc body", null.asInstanceOf[String], ts(3)),
+      ("c5", 0, "assistant", null.asInstanceOf[String], "toolA", ts(4)),
+      ("c6", 0, "assistant", null.asInstanceOf[String], "toolB", ts(5)))
       .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
       .write.mode("append").parquet(in)
     val stream = spark.readStream.schema(StreamingExtraction.turnSchema)
@@ -79,9 +83,12 @@ class StreamingExtractionSpec extends SparkSpec {
     val got = result.select("conv_id")
       .collect().map(_.getString(0)).toSet
     // one survivor per distinct canonical content: c1/c2/c4 collapse
-    // (normText folds case+whitespace), c3 is its own content
-    assert(got.size == 2 && got.contains("c3"))
-    assert((got - "c3").subsetOf(Set("c1", "c2", "c4")))
+    // (normText folds case+whitespace), c3 is its own content — and
+    // BOTH null-text rows survive as distinct rows
+    assert(got.size == 4 && got.contains("c3"))
+    assert(Set("c5", "c6").subsetOf(got),
+      "null-fingerprint rows must pass through dedup, not collapse")
+    assert((got - "c3" - "c5" - "c6").subsetOf(Set("c1", "c2", "c4")))
   }
 
   test("stateful conversation summaries via mapGroupsWithState") {
