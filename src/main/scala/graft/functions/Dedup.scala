@@ -449,27 +449,39 @@ object Dedup {
       var labels = sym.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
         .localCheckpoint(true)
+      val labelType = labels.schema("label").dataType
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
+        // convergence detection rides the round's OWN aggregation: each
+        // vertex's previous label is carried as `old` (null on neighbor
+        // rows, so max() recovers the unique self value), and "any label
+        // decreased" is then a limit-1 probe of the checkpointed result
+        // — no separate join-and-count job over two label tables per
+        // round (round-3 verdict: that join was a third job/iteration)
         val viaNeighbor = sym
           .join(labels.withColumnRenamed("id", "dst"), "dst")
-          .select(col("src").as("id"), col("label"))
-        val next = viaNeighbor.union(labels)
-          .groupBy(col("id")).agg(min(col("label")).as("label"))
+          .select(col("src").as("id"), col("label"),
+            lit(null).cast(labelType).as("old"))
+        val self = labels.select(col("id"), col("label"),
+          col("label").as("old"))
+        val next = viaNeighbor.unionByName(self)
+          .groupBy(col("id"))
+          .agg(min(col("label")).as("label"), max(col("old")).as("old"))
           .localCheckpoint(true)
-        val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") < col("old")).count()
-        // the superseded checkpoint is dead after `changed` — release
-        // its blocks now instead of pinning maxIter label tables in the
-        // block manager until driver GC notices. Dataset.unpersist is a
-        // no-op here (localCheckpoint persists at the RDD level, which
-        // the CacheManager doesn't track), so the checkpointed RDD
+        // the superseded checkpoint is dead once `next` materialized —
+        // release its blocks now instead of pinning maxIter label tables
+        // in the block manager until driver GC notices. Dataset.unpersist
+        // is a no-op here (localCheckpoint persists at the RDD level,
+        // which the CacheManager doesn't track), so the checkpointed RDD
         // behind the plan's LogicalRDD leaf is unpersisted directly —
         // safe ONLY because the superseded table is never read again.
         freeLocalCheckpoint(labels)
-        labels = next
-        converged = changed == 0
+        // min-propagation labels only ever decrease, so label < old is
+        // exactly "changed this round"; the probe short-circuits on the
+        // first changed row of the cached table
+        converged = next.filter(col("label") < col("old")).isEmpty
+        labels = next.select(col("id"), col("label"))
         iter += 1
       }
       require(converged,

@@ -79,24 +79,74 @@ final class SnapshotTable(val root: String) {
     * pointer: two writers that read the same parent each build a path
     * list missing the other's data dir, and the second swap silently
     * drops the first commit from every future read. The table is
-    * single-writer by contract; [[requireParent]] turns a violated
-    * contract into a failed commit instead of silent loss. (A
-    * check-then-move window remains — filesystem rename carries no
-    * compare — so this is optimistic detection, not a lock.) */
+    * single-writer by contract; the parent check turns a violated
+    * contract into a failed commit instead of silent loss, and the
+    * check runs under an O_EXCL commit-lock file so the old
+    * check-then-move window is closed: the loser fails CLEANLY (its
+    * orphan data dir reclaimed), the winner's data survives. A writer
+    * that crashes inside the lock leaves `commit.lock` behind —
+    * [[breakStaleLock]] is the operator's recovery, deliberately not
+    * automatic (auto-steal would reopen the race it exists to close). */
   private def finalizeCommit(snapshotId: String, dataPath: String,
       paths: Seq[String], files: Seq[String],
       summary: Map[String, String],
-      expectedParent: Option[String]): String = {
-    requireParentOrCleanup(expectedParent, dataPath)
+      expectedParent: Option[String]): String =
+    withCommitLock(dataPath) {
+      requireParentOrCleanup(expectedParent, dataPath)
+      val json = snapshotJson(snapshotId, dataPath, paths, files, summary)
+      Files.write(metaDir.resolve(s"snapshot-$snapshotId.json"),
+        json.getBytes(StandardCharsets.UTF_8))
+      val tmp = metaDir.resolve("current.tmp")
+      Files.write(tmp, snapshotId.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, metaDir.resolve("current"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      snapshotId
+    }
+
+  /** Acquire `metadata/commit.lock` via atomic create-if-absent
+    * (O_EXCL), run `body`, release. Acquisition failure means a live
+    * concurrent writer: the caller's complete-but-unreferenced data dir
+    * is reclaimed (same rationale as [[requireParentOrCleanup]]) and
+    * the commit fails with the same exception type as a parent
+    * conflict. */
+  private def withCommitLock[T](dataPath: String)(body: => T): T = {
     Files.createDirectories(metaDir)
-    val json = snapshotJson(snapshotId, dataPath, paths, files, summary)
-    Files.write(metaDir.resolve(s"snapshot-$snapshotId.json"),
-      json.getBytes(StandardCharsets.UTF_8))
-    val tmp = metaDir.resolve("current.tmp")
-    Files.write(tmp, snapshotId.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, metaDir.resolve("current"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    snapshotId
+    val lock = metaDir.resolve("commit.lock")
+    val acquired =
+      try {
+        // pid + wall time, for the operator staring at a stale lock
+        Files.write(lock,
+          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}"
+            .getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    if (!acquired) {
+      val dir = Paths.get(dataPath)
+      if (Files.exists(dir)) deleteRecursively(dir)
+      throw new java.util.ConcurrentModificationException(
+        s"table $root: commit.lock held by another writer — concurrent " +
+          "commit refused (data dir reclaimed); if the holder crashed, " +
+          "recover with breakStaleLock()")
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
+  /** Remove a commit lock left by a CRASHED writer, but only when it is
+    * older than `maxAgeMs` (default 10 min) — a younger lock is treated
+    * as live and kept. Returns true when a lock was removed. Operator
+    * recovery, not called by any commit path. */
+  def breakStaleLock(maxAgeMs: Long = 10 * 60 * 1000L): Boolean = {
+    val lock = metaDir.resolve("commit.lock")
+    if (!Files.exists(lock)) return false
+    val content = new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
+    val stampedAt = content.split(" ").lift(1).flatMap(_.toLongOption)
+      .getOrElse(Files.getLastModifiedTime(lock).toMillis)
+    if (System.currentTimeMillis() - stampedAt > maxAgeMs)
+      Files.deleteIfExists(lock)
+    else false
   }
 
   /** [[requireParent]] plus orphan reclamation: a detected conflict

@@ -154,4 +154,62 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(orphan),
       "conflict-losing commit's data dir is deleted, not leaked")
   }
+
+  test("commit lock: concurrent racers — one wins, loser fails cleanly, no orphans") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("snap-")
+    val t = new SnapshotTable(root)
+    val base = t.commit(Seq((0, "base")).toDF("k", "v"), Seq.empty)
+
+    // two same-parent writers race through separate table handles (each
+    // handle tracks its own seq, like two driver processes would)
+    val ta = new SnapshotTable(root)
+    val tb = new SnapshotTable(root)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, String]]()
+    def racer(name: String, tab: SnapshotTable, k: Int): Thread = {
+      val th = new Thread(() => {
+        gate.await()
+        results.put(name,
+          try Right(tab.commit(Seq((k, name)).toDF("k", "v"), Seq.empty))
+          catch { case e: Throwable => Left(e) })
+      })
+      th.start(); th
+    }
+    val threads = Seq(racer("a", ta, 1), racer("b", tb, 2))
+    gate.countDown()
+    threads.foreach(_.join(120000))
+
+    val wins = results.values().toArray.collect { case Right(id: String) => id }
+    val losses = results.values().toArray.collect { case Left(e: Throwable) => e }
+    assert(wins.length == 1 && losses.length == 1,
+      s"exactly one racer must win: $results")
+    assert(losses.head.isInstanceOf[java.util.ConcurrentModificationException],
+      s"loser fails with a conflict, got: ${losses.head}")
+    // the winner's data survives and the table view is consistent
+    assert(t.read(spark).count() == 2, "base row + winner's row")
+    // no orphan data dirs: every dir on disk is referenced by a manifest
+    val referenced = t.history().flatMap(t.dataPaths).toSet
+    val onDisk = Files.list(Paths.get(root, "data")).toArray
+      .map(_.toString).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"loser's data dir must be reclaimed: onDisk=$onDisk referenced=$referenced")
+    // the lock itself is released
+    assert(!Files.exists(Paths.get(root, "metadata", "commit.lock")))
+    // and the winner is a child of base in commit order
+    assert(t.history() == Seq(base, wins.head).sorted)
+
+    // stale-lock recovery: a crashed writer's old lock can be broken,
+    // a fresh one cannot
+    Files.write(Paths.get(root, "metadata", "commit.lock"),
+      s"999 ${System.currentTimeMillis() - 3600 * 1000}".getBytes)
+    assert(t.breakStaleLock(), "hour-old lock is stale")
+    Files.write(Paths.get(root, "metadata", "commit.lock"),
+      s"999 ${System.currentTimeMillis()}".getBytes)
+    assert(!t.breakStaleLock(), "fresh lock is live — kept")
+    Files.delete(Paths.get(root, "metadata", "commit.lock"))
+    // commits work again after the conflict
+    t.commit(Seq((3, "c")).toDF("k", "v"), Seq.empty)
+    assert(t.read(spark).count() == 3)
+  }
 }
