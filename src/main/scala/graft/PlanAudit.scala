@@ -81,7 +81,7 @@ object PlanAudit {
       "row, never payload text: simhash64 reduces each doc before any " +
       "Exchange), and AQE reuses the banded exchange between the " +
       "occupancy aggregation and the join.") {
-      SparkEntry.queries("q30_simhash_pairs")(spark, dir)
+      SparkEntry.queries("q30_simhash_templates")(spark, dir)
     }
 
     show("training selection (q51): signals staged below the keeper window",
@@ -115,7 +115,7 @@ object PlanAudit {
       println("\n## single-scan audit: corpus text scanned once per dedup query\n")
       println("| query | distinct FileScan nodes | rows per scan |")
       println("|---|---|---|")
-      for (q <- Seq("q27_lsh_buckets", "q30_simhash_pairs",
+      for (q <- Seq("q27_lsh_buckets", "q30_simhash_templates",
           "q47_simhash_neardups", "q55_unigram_surprisal")) {
         spark.sharedState.cacheManager.clearCache()
         val df = SparkEntry.queries(q)(spark, dir)

@@ -91,19 +91,42 @@ object TrainingQueries {
         Expressions.simhash64(TextFunctions.normText(col("text"))).as("sh"),
         Expressions.fnv1a64(TextFunctions.normText(col("text"))).as("fnv"))),
 
-    "q30_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 16)),
+    // the TEMPLATE-family operating point (Hamming ≤ 8 — boilerplate
+    // cluster discovery, between q47's ≤3-bit pigeonhole guarantee and
+    // noise): 40 planted families whose members sit within 4 bits of
+    // their base, so intra-family pairs are ≤ 8 apart and cross-family
+    // pairs ~32. Replaces the round-1..3 maxHamming=16 run over the
+    // dup-free documents table, whose survivors were band-collision
+    // noise — every pair this finds is a real template near-dup.
+    // (The oracle mirrors the 4×16-bit banding exactly, so 4..8-bit
+    // pairs — candidates only when a band survives untouched — agree
+    // pair-for-pair without needing guaranteed recall.)
+    "q30_simhash_templates" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        s.read.parquet(graft.fixtures.FixtureGen.SimhashTemplatesPath),
+        "text", "doc_id", maxHamming = 8)),
 
-    // the operator's REAL operating point: Hamming ≤ 3 (the pigeonhole
-    // bound of the 4×16-bit banding). The synthetic documents table has
-    // no true near-dups, so q30's maxHamming=16 verifies plumbing only;
-    // this runs over a frozen corpus with PLANTED variants at distance
-    // 1..3 (FixtureGen.neardupDocs) — the survivor set is actual
-    // near-dups, recomputed from text on both sides
+    // the operator's tight operating point: Hamming ≤ 3 (the pigeonhole
+    // bound of the 4×16-bit banding) over a frozen corpus with PLANTED
+    // variants at distance 1..3 (FixtureGen.neardupDocs) — the survivor
+    // set is actual near-dups, recomputed from text on both sides
     "q47_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashPairs(
         s.read.parquet(graft.fixtures.FixtureGen.NearDupDocsPath),
         "text", "doc_id", maxHamming = 3)),
+
+    // the PRODUCTION-CPU dedup path, oracle-green: xxhash64 minhash
+    // signatures + 8-byte band keys + FNV-hashed shingles over the
+    // planted fast-minhash corpus. The fixture's accept-reject
+    // guarantees every planted pair shares a band under the fast
+    // family, so the verified survivor set equals ALL pairs at
+    // Jaccard ≥ 0.7 — which the oracle brute-forces from text alone
+    // (450 docs; no banding model needed in SQL)
+    "q57_fastminhash_neardups" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        s.read.parquet(graft.fixtures.FixtureGen.NearDupFastDocsPath),
+        "text", "doc_id", n = 3, threshold = 0.7, K, R,
+        hashShingles = true, fastMinhash = true)),
 
     "q31_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
@@ -632,11 +655,16 @@ object TrainingQueries {
          |       ${toSigned("f.h")} AS fnv
          |FROM shu JOIN f USING (doc_id)""".stripMargin,
 
-    "q30_simhash_pairs" -> simhashPairsSql("documents", maxHamming = 16),
+    "q30_simhash_templates" -> simhashPairsSql(
+      s"read_parquet('${graft.fixtures.FixtureGen.SimhashTemplatesPath}')",
+      maxHamming = 8),
 
     "q47_simhash_neardups" -> simhashPairsSql(
       s"read_parquet('${graft.fixtures.FixtureGen.NearDupDocsPath}')",
       maxHamming = 3),
+
+    "q57_fastminhash_neardups" -> bruteJaccardSql(
+      graft.fixtures.FixtureGen.NearDupFastDocsPath, threshold = 0.7),
 
     "q33_lsh_ann" ->
       s"""WITH q0 AS (
@@ -900,6 +928,31 @@ object TrainingQueries {
        |  SELECT a, b, floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 AS jaccard
        |  FROM j
        |  WHERE floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 >= 0.2)""".stripMargin
+  }
+
+  /** Brute-force hashed-3-gram Jaccard over a small frozen corpus
+    * (q57): ALL pairs at Jaccard ≥ threshold, no banding model — valid
+    * as the oracle because the fixture's accept-reject guarantees every
+    * ≥-threshold pair is an LSH candidate under the engine's fast hash
+    * family (FixtureGen.neardupFastDocs). Grams are FNV-hashed with the
+    * engine's exact arithmetic, so intersection sizes (and any
+    * collisions) agree bit-for-bit. */
+  private def bruteJaccardSql(path: String, threshold: Double): String = {
+    val grams =
+      """list_transform(list_zip(t[1:-3], t[2:-2], t[3:-1]),
+        |    x -> x[1] || ' ' || x[2] || ' ' || x[3])""".stripMargin
+    s"""WITH tt AS (SELECT doc_id, $TOK AS t FROM read_parquet('$path')),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(list_transform($grams, g -> ${fnvSql("g")})) AS g
+       |  FROM tt),
+       |j AS (SELECT l.doc_id AS a, r.doc_id AS b,
+       |    len(list_intersect(l.g, r.g))::DOUBLE AS inter,
+       |    (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g)))::DOUBLE AS uni
+       |  FROM sh l JOIN sh r ON l.doc_id < r.doc_id)
+       |SELECT a, b,
+       |  floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 AS jaccard
+       |FROM j
+       |WHERE floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 >= $threshold""".stripMargin
   }
 
   /** Sign-LSH near-dup oracle with the occupancy cap mirrored

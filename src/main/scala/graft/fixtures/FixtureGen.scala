@@ -40,6 +40,8 @@ object FixtureGen {
     Files.createDirectories(Paths.get(FixtureDir))
     writeSingle(goldenExtract(spark), s"$FixtureDir/golden_extract_sf001.parquet")
     writeSingle(neardupDocs(spark), NearDupDocsPath)
+    writeSingle(neardupFastDocs(spark), NearDupFastDocsPath)
+    writeSingle(simhashTemplateDocs(spark), SimhashTemplatesPath)
     writeSingle(mediaMeta(spark), s"$FixtureDir/media_meta_500.parquet")
     writeSingle(mediaFeatures(spark), s"$FixtureDir/media_features_500.parquet")
     writeSingle(mediaFrames(spark), s"$FixtureDir/media_frames_500.parquet")
@@ -135,6 +137,137 @@ object FixtureGen {
         }.take(1).toSeq
         baseRow +: variant
       }
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  // --- planted fast-minhash near-dups -------------------------------------
+
+  val NearDupFastDocsPath = s"$FixtureDir/neardup_fast_docs.parquet"
+
+  /** Planted near-dup corpus for the PRODUCTION-CPU dedup path
+    * (`ngramJaccardPairs(fastMinhash = true, hashShingles = true)`,
+    * q57): 300 base docs from the 64k vocab (seed constants differ from
+    * [[neardupDocs]], so the corpora are distinct), and for every
+    * even-indexed base a one-token-substituted variant accepted only
+    * when (a) its distinct-3-gram Jaccard with the base is ≥ 0.7 —
+    * structurally guaranteed at these lengths, checked anyway — and
+    * (b) base and variant SHARE at least one xxhash64 minhash BAND KEY,
+    * so every planted pair is certainly an LSH candidate under the fast
+    * hash family. That second condition is what makes the query
+    * oracle-able: MinHash banding is probabilistic (a 0.93-Jaccard pair
+    * misses all 4 bands with p ≈ 10⁻⁴ per substitution draw), so
+    * without the accept-reject the DuckDB side — which cannot compute
+    * xxhash64 — could not know the engine's candidate set; with it,
+    * engine output == ALL pairs at Jaccard ≥ 0.7, which DuckDB
+    * brute-forces from text alone (the corpus is 450 docs; cross pairs
+    * sit at Jaccard ≈ 0). The banding/signature arithmetic here is
+    * Spark's own XxHash64Function — the kernel only SHAPES the data;
+    * every expected value is recomputed from text by the oracle.
+    */
+  def neardupFastDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    // exactly TextFunctions.minhashSigFromTokensFast: component i of the
+    // signature is min over distinct tokens of xxhash64(i, tok)
+    def xxTok(i: Int, tok: String): Long =
+      XxHash64Function.hash(UTF8String.fromString(tok), StringType,
+        XxHash64Function.hash(Int.box(i), IntegerType, 42L))
+    def fastBandKeys(toks: Seq[String]): Array[Long] = {
+      val distinct = toks.distinct
+      val sig = Array.tabulate(16)(i => distinct.map(t => xxTok(i, t)).min)
+      // exactly TextFunctions.bandKeysFromSigFast: xxhash64 over the
+      // band's 4 signature components
+      Array.tabulate(4) { b =>
+        var h = 42L
+        var r = 0
+        while (r < 4) {
+          h = XxHash64Function.hash(Long.box(sig(b * 4 + r)), LongType, h)
+          r += 1
+        }
+        h
+      }
+    }
+    def grams3(ts: Array[String]): Set[String] =
+      (0 to ts.length - 3).map(k => s"${ts(k)} ${ts(k + 1)} ${ts(k + 2)}").toSet
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val inter = (a & b).size.toDouble
+      val uni = a.size + b.size - inter
+      if (uni > 0) inter / uni else 0.0
+    }
+    val vocab = Array.tabulate(65536)(i => f"w$i%04x")
+    def word(h: Long): String = vocab((h & 0xffff).toInt)
+    val rows = (0 until 300).flatMap { i =>
+      val len = 60 + (mix(2000L + i) & 63).toInt
+      val base = Array.tabulate(len)(j => word(mix(i * 7927L + j)))
+      val baseRow = (f"b$i%03d", base.mkString(" "))
+      if (i % 2 != 0) Seq(baseRow)
+      else {
+        val baseBands = fastBandKeys(base.toSeq)
+        val baseGrams = grams3(base)
+        val variant = (0 until 64).iterator.flatMap { s =>
+          val pos = ((mix(i * 104717L + s) >>> 8) % len).toInt
+          val repl = word(mix(i * 15485917L + s))
+          if (repl == base(pos)) Iterator.empty
+          else {
+            val v = base.clone(); v(pos) = repl
+            val vb = fastBandKeys(v.toSeq)
+            val sharesBand = (0 until 4).exists(b => vb(b) == baseBands(b))
+            val j = math.floor(jac(baseGrams, grams3(v)) * 10000 + 0.5) / 10000
+            if (sharesBand && j >= 0.7) Iterator((f"v$i%03d", v.mkString(" ")))
+            else Iterator.empty
+          }
+        }.take(1).toSeq
+        baseRow +: variant
+      }
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  // --- planted simhash template families ----------------------------------
+
+  val SimhashTemplatesPath = s"$FixtureDir/simhash_templates.parquet"
+
+  /** Template-family corpus for the q30 banded-simhash operating point
+    * at maxHamming = 8 (boilerplate/template cluster discovery — the
+    * regime between q47's ≤3-bit guarantee and random noise): 40
+    * families of up to 6 members each, every member a 1-3-token
+    * substitution of the family base accepted only within Hamming ≤ 4
+    * of the base, so ALL intra-family pairs sit at ≤ 8 (XOR-popcount
+    * triangle inequality) while cross-family pairs sit ~32 bits apart.
+    * Pairs at ≤3 are pigeonhole-guaranteed candidates; 4..8-bit pairs
+    * are candidates only when some 16-bit band is untouched — the
+    * oracle mirrors the banding exactly (simhashPairsSql), so both
+    * sides agree pair-for-pair without needing guaranteed recall. */
+  def simhashTemplateDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    def sim(text: String): Long =
+      graft.functions.HashKernels.simhash64(UTF8String.fromString(text))
+    val vocab = Array.tabulate(65536)(i => f"w$i%04x")
+    def word(h: Long): String = vocab((h & 0xffff).toInt)
+    val rows = (0 until 40).flatMap { t =>
+      val len = 70 + (mix(5000L + t) & 31).toInt
+      val base = Array.tabulate(len)(j => word(mix(t * 6007L + j)))
+      val baseText = base.mkString(" ")
+      val h0 = sim(baseText)
+      val members = (1 until 6).flatMap { m =>
+        val nSubs = 1 + (m % 3)
+        (0 until 256).iterator.flatMap { s =>
+          val v = base.clone()
+          (0 until nSubs).foreach { q =>
+            val pos = ((mix(t * 131071L + m * 512L + s * 8L + q) >>> 8) % len).toInt
+            v(pos) = word(mix(t * 179424673L + m * 1024L + s * 8L + q))
+          }
+          val text = v.mkString(" ")
+          val d = java.lang.Long.bitCount(h0 ^ sim(text))
+          if (d >= 1 && d <= 4) Iterator((f"t$t%02d_m$m", text))
+          else Iterator.empty
+        }.take(1).toSeq
+      }
+      (f"t$t%02d_m0", baseText) +: members
     }
     rows.toDF("doc_id", "text")
   }
