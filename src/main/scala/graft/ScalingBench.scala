@@ -28,14 +28,10 @@ object ScalingBench {
       // the real job shape. Input is materialized once outside the
       // measurement (generation would otherwise dominate allocation).
       val paraScale = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARASCALE", "1").toInt
-      val input = s"/tmp/graft_bench_input_${nConvs}_p$paraScale"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(input, "_SUCCESS"))) {
+      val input = {
         val prep = Bench.session("16")
         prep.sparkContext.setLogLevel("ERROR")
-        try graft.fixtures.TranscriptGen
-          .dataset(prep, graft.fixtures.TranscriptGen.GenConfig(
-            nConvs = nConvs, paraScale = paraScale))
-          .toDF().write.mode("overwrite").parquet(input)
+        try Bench.materializeInput(prep, nConvs, paraScale)
         finally prep.stop()
       }
       // ONE session for warmup + all reps: every new SparkSession loads
@@ -156,6 +152,18 @@ object ScalingBench {
          |
          |Target ≥ 0.8 on the physical-core pair; across the SMT boundary the
          |job tracks the hardware ceiling.
+         |
+         |**Extraction-headline protocol history** (why `turns_per_sec` is not
+         |comparable across rounds 1-3, settled as of round 4): round 1
+         |generated the transcript input INLINE inside the timed action
+         |(generation+extraction); round 2 timed a bare `count()` whose plan
+         |pruned the extraction entirely (scan-only — the "134k turns/s" was a
+         |phantom); round 3 forced the extraction via an aggregate over
+         |`extracted_text` but still generated inline (generation+extraction
+         |again, hence 15.7k). From round 4 on, `Bench.timeExtract` and this
+         |harness share one protocol: input materialized to parquet BEFORE the
+         |timed region, extraction forced by the aggregate — both numbers
+         |measure scan→selection→extraction and are directly comparable.
          |
          |```json
          |$json
