@@ -22,6 +22,16 @@ object Bench {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // several WAVES of scan tasks per core, not one: the default
+    // 128 MB/4 MB split sizing packs a bench-scale input into
+    // ~defaultParallelism splits — a single task wave whose straggler
+    // tail idles 15-25% of the cores (measured: delivered concurrency
+    // 12.8/16 with 16 packed splits). A 100 TB table has millions of
+    // row groups and gets many waves NATURALLY; these two knobs give
+    // the bench the same shape. Per-query overhead at sf0.1 is nil
+    // (those tables are single small files either way).
+    .config("spark.sql.files.maxPartitionBytes", "8m")
+    .config("spark.sql.files.openCostInBytes", "64k")
     .getOrCreate()
 
   def main(args: Array[String]): Unit = {
@@ -70,13 +80,17 @@ object Bench {
     }
     val failed = results.collect { case (n, t) if t < 0 => n }
 
-    // headline: extraction throughput on a transcript table sized ~150k
-    // turns (scaled down for smaller sf dirs); one warmup pass so the
-    // number reflects steady-state, not first-action JIT
+    // headline: extraction throughput over EXACTLY the scaling
+    // harness's input shape (30k conversations, paraScale 16 → ~30 KB
+    // payloads, 212k turns at sf0.1 — the same materialized parquet,
+    // so BENCH_rN.turns_per_sec and BENCH/BASELINE.md's same-level row
+    // are the same experiment); scaled down for smaller sf dirs. One
+    // warmup pass so the number reflects steady state, not
+    // first-action JIT.
     val nConvs =
       if (sfDir.contains("0.001")) 50
       else if (sfDir.contains("0.01")) 500
-      else 20000
+      else 30000
     timeExtract(spark, math.max(nConvs / 4, 50))
     val r1 = timeExtract(spark, nConvs)
     val r2 = timeExtract(spark, nConvs)
@@ -112,15 +126,27 @@ object Bench {
     * GENERATION cost never leaks into an extraction number. (Rounds
     * 1-3 each measured a different thing here; see the protocol note
     * in BENCH/BASELINE.md.) */
+  /** File-count granularity of the materialized input. The round-3
+    * "16→32 degradation" was an INPUT artifact, not an engine one: the
+    * input was 16 parquet files of one ~35 MB row group each, so at
+    * most 16 scan tasks ever carried rows (splitting a single-row-group
+    * file yields empty second halves) and local[32] could never beat
+    * local[16] — thread sampling showed exactly 16 active tasks at any
+    * level. 256 files ≈ 2 MB each give every local[N] level 8+ waves of
+    * real tasks, the shape a 100 TB table has naturally (millions of
+    * row groups). */
+  val InputFiles = 256
+
   def materializeInput(spark: SparkSession, nConvs: Int,
       paraScale: Int = 1): String = {
     import graft.fixtures.TranscriptGen
-    val input = s"/tmp/graft_bench_input_${nConvs}_p$paraScale"
+    val input = s"/tmp/graft_bench_input_${nConvs}_p${paraScale}_f$InputFiles"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(input, "_SUCCESS"))) {
       TranscriptGen.dataset(spark,
           TranscriptGen.GenConfig(nConvs = nConvs, paraScale = paraScale))
-        .toDF().write.mode("overwrite").parquet(input)
+        .toDF().repartition(InputFiles)
+        .write.mode("overwrite").parquet(input)
     }
     input
   }
@@ -130,9 +156,10 @@ object Bench {
     * input; returns (rows, sec). The timed region starts after the
     * input exists on disk, so this measures extraction throughput (the
     * BASELINE metric), directly comparable to ScalingBench's levels. */
-  def timeExtract(spark: SparkSession, nConvs: Int): (Double, Double) = {
+  def timeExtract(spark: SparkSession, nConvs: Int,
+      paraScale: Int = 16): (Double, Double) = {
     import graft.fixtures.TranscriptGen
-    val turns = spark.read.parquet(materializeInput(spark, nConvs))
+    val turns = spark.read.parquet(materializeInput(spark, nConvs, paraScale))
     val eligible = graft.pipeline.Selection
       .ingest(turns, TranscriptGen.WatermarkTs, spark)
     val t0 = System.nanoTime()

@@ -41,6 +41,14 @@ object ScalingBench {
       // rep 2.
       val spark = Bench.session(lvl)
       spark.sparkContext.setLogLevel("ERROR")
+      // task-second accounting: sum of executorRunTime per measured rep
+      // feeds the report's efficiency decomposition (work inflation ×
+      // utilization — see BENCH/BASELINE.md)
+      val taskSec = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          taskSec.addAndGet(t.taskMetrics.executorRunTime)
+      })
       def once(): (Double, Double) = {
         val turns = spark.read.parquet(input)
         val eligible = graft.pipeline.Selection.ingest(
@@ -68,29 +76,41 @@ object ScalingBench {
       }
       val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-      def measured(): Option[(Double, Double)] = {
+      def gcMillis(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      def measured(): Option[(Double, Double, Double)] = {
         val (b0, _) = hostBusyJiffies()
         val my0 = osBean.getProcessCpuTime
+        val g0 = gcMillis()
+        taskSec.set(0L)
         val t0 = System.nanoTime()
         val r = once()
         val wall = (System.nanoTime() - t0) / 1e9
         val (b1, _) = hostBusyJiffies()
         val mySec = (osBean.getProcessCpuTime - my0) / 1e9
+        val gcSec = (gcMillis() - g0) / 1e3
         val otherCores = ((b1 - b0) / 100.0 - mySec) / wall
+        Thread.sleep(200) // let onTaskEnd events drain
+        // per-rep attribution: how many cores the job actually used and
+        // how much of the window went to GC — the 16→32 diagnosis data
+        System.err.println(f"[scaling] rep wall=$wall%.3f cpuCores=${mySec / wall}%.1f gcSec=$gcSec%.2f otherCores=$otherCores%.1f taskSec=${taskSec.get / 1e3}%.1f")
         if (otherCores > 0.5) {
           System.err.println(f"[scaling] rep rejected: external load $otherCores%.1f cores")
           None
-        } else Some(r)
+        } else Some((r._1, r._2, taskSec.get / 1e3))
       }
-      val clean = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val clean = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
       var attempts = 0
       while (clean.length < reps && attempts < reps * 5) {
         measured().foreach(clean += _); attempts += 1
       }
       spark.stop()
       require(clean.nonEmpty, "no clean reps — host too noisy")
-      val (rows, sec) = clean.minBy(_._2)
-      println(f"""{"level":$lvl,"rows":$rows%.0f,"sec":$sec%.3f,"all":[${clean.map(r => f"${r._2}%.3f").mkString(",")}],"attempts":$attempts}""")
+      val (rows, sec, bestTaskSec) = clean.minBy(_._2)
+      println(f"""{"level":$lvl,"rows":$rows%.0f,"sec":$sec%.3f,"task_sec":$bestTaskSec%.3f,"all":[${clean.map(r => f"${r._2}%.3f").mkString(",")}],"attempts":$attempts}""")
       return
     }
 
