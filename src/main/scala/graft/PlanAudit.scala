@@ -116,7 +116,8 @@ object PlanAudit {
       println("| query | distinct FileScan nodes | rows per scan |")
       println("|---|---|---|")
       for (q <- Seq("q27_lsh_buckets", "q30_simhash_templates",
-          "q47_simhash_neardups", "q55_unigram_surprisal")) {
+          "q41_lsh_neardups", "q47_simhash_neardups",
+          "q55_unigram_surprisal")) {
         spark.sharedState.cacheManager.clearCache()
         val df = SparkEntry.queries(q)(spark, dir)
         df.count()

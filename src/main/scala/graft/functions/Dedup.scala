@@ -374,11 +374,18 @@ object Dedup {
       bucketCol: String, threshold: Double,
       maxBucket: Int = MaxEmbBucketForPairs,
       stats: Option[Observation] = None): DataFrame = {
+    // persisted for the same reason as the banded relations above: the
+    // occupancy counts and both self-join sides (each re-deriving `ok`)
+    // all consume this relation — without the cache the embeddings are
+    // re-scanned and re-normalized up to 5× per query. The cached rows
+    // are (id, bucket, unit vector): the reduced relation, already
+    // pruned to the columns the join needs.
     val v = Ann.withNormalized(
         df.select(col(idCol).as("id"), col(bucketCol).as("bkt"),
           col(vecCol).as("_emb")),
         "_emb", "v")
       .select(col("id"), col("bkt"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = v.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
     val ok = observeBuckets(counts, stats, maxBucket)
       .filter(col("n") >= 2 && col("n") <= maxBucket)

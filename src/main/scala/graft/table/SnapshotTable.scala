@@ -52,7 +52,7 @@ final class SnapshotTable(val root: String) {
   def commit(df: DataFrame, partitionByCols: Seq[String],
       summary: Map[String, String] = Map.empty): String = {
     val parent = currentSnapshotId
-    val snapshotId = f"${System.currentTimeMillis()}%013d-${parent.map(_ => nextSeq()).getOrElse(0)}%06d"
+    val snapshotId = newSnapshotId(parent.map(_ => nextSeq()).getOrElse(0))
     val (dataPath, files) = writeData(df, partitionByCols, snapshotId)
     // cumulative view = ancestors' dirs + own dir (only if non-empty:
     // an empty parquet dir would fail schema inference on read)
@@ -264,7 +264,7 @@ final class SnapshotTable(val root: String) {
     * own data dir (a full-table view), not the ancestor chain. */
   private def commitRewrite(df: DataFrame, partitionByCols: Seq[String],
       summary: Map[String, String], expectedParent: Option[String]): String = {
-    val snapshotId = f"${System.currentTimeMillis()}%013d-${nextSeq()}%06d"
+    val snapshotId = newSnapshotId(nextSeq())
     val (dataPath, files) = writeData(df, partitionByCols, snapshotId)
     val paths = if (files.nonEmpty) Seq(dataPath) else Seq.empty
     finalizeCommit(snapshotId, dataPath, paths, files, summary, expectedParent)
@@ -331,6 +331,15 @@ final class SnapshotTable(val root: String) {
 
   private var seq = 0
   private def nextSeq(): Int = { seq += 1; seq }
+
+  /** Timestamp-prefixed (so lexicographic order == commit order) with a
+    * random suffix so two same-millisecond writers — separate table
+    * handles or processes each carrying their own seq — can never mint
+    * the same id and collide in one DATA DIRECTORY while racing toward
+    * the commit lock; the lock then arbitrates the commit itself. */
+  private def newSnapshotId(seqNo: Int): String =
+    f"${System.currentTimeMillis()}%013d-$seqNo%06d-" +
+      java.util.UUID.randomUUID().toString.take(4)
 
   private def listParquet(dir: java.nio.file.Path): Seq[String] = {
     import scala.jdk.CollectionConverters._
