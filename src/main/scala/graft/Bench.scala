@@ -144,7 +144,8 @@ object Bench {
   def materializeInput(spark: SparkSession, nConvs: Int,
       paraScale: Int = 1): String = {
     import graft.fixtures.TranscriptGen
-    val input = s"/tmp/graft_bench_input_${nConvs}_p${paraScale}_f$InputFiles"
+    val input = s"/tmp/graft_bench_input_g${TranscriptGen.GeneratorVersion}" +
+      s"_${nConvs}_p${paraScale}_f$InputFiles"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(input, "_SUCCESS"))) {
       TranscriptGen.dataset(spark,

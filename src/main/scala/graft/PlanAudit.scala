@@ -120,7 +120,10 @@ object PlanAudit {
           "q55_unigram_surprisal")) {
         spark.sharedState.cacheManager.clearCache()
         val df = SparkEntry.queries(q)(spark, dir)
-        df.count()
+        // collect() runs df's OWN QueryExecution (count() would build a
+        // new one and leave this instance's metrics unset outside the
+        // shared cached subtree)
+        df.collect()
         val scans = distinctFileScans(df.queryExecution.executedPlan)
         val rows = scans.map(f =>
           f.metrics.get("numOutputRows").map(_.value).getOrElse(-1L))

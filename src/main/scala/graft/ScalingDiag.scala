@@ -84,7 +84,7 @@ object ScalingDiag {
 
     // (3) thread/task sampler over one more run
     @volatile var done = false
-    val runner = new Thread(() => { job(); done = true })
+    val runner = new Thread(() => { try job() finally { done = true } })
     val tracker = spark.sparkContext.statusTracker
     val timeline = scala.collection.mutable.ArrayBuffer.empty[String]
     runner.start()

@@ -292,12 +292,13 @@ object TrainingQueries {
       // (doc_id, tok) shuffle key is even, with map-side partial agg
       // soaking up the in-doc repeats. Exactness is preserved: summing
       // the quantized DECIMAL surprisal n times == surp * n in DECIMAL.
-      val docTok = toks.groupBy(col("doc_id"), col("tok"))
+      val docTok = Dedup.trackPersisted(toks
+        .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("n"))
         // persisted: freq (and through it tot/head/tail) re-derives
         // from this cache, so the corpus text is tokenized exactly ONCE
         // per query instead of once per consuming subtree
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val freq = docTok.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
       val tot = freq.agg(sum(col("cnt")).as("total"))
       // score the vocabulary once (one row per distinct token), then

@@ -20,6 +20,15 @@ import graft.model.Turn
   */
 object TranscriptGen {
 
+  /** Cache-key component of materialized bench inputs
+    * (Bench.materializeInput): BUMP whenever generation semantics
+    * change (payload mix, sizing, watermark, turn structure), or stale
+    * /tmp parquet from the previous generator silently becomes the
+    * benchmarked corpus — the repo's documented stale-artifact pitfall
+    * class. */
+  val GeneratorVersion = 1
+
+
   final case class GenConfig(
       nConvs: Int,
       seed: Long = 42L,

@@ -31,6 +31,33 @@ object Dedup {
       spark.sparkContext.longAccumulator("graft.dedup.docs_in_mega_buckets"))
   }
 
+  /** Registry of the relations this module persists (the single-scan
+    * caches below). The CacheManager keys entries by analyzed plan, so
+    * REPEATED runs of one query reuse one entry — but distinct inputs
+    * (daily increments, different snapshots) each add one, and callers
+    * hold no handle to release them. Job wrappers call
+    * [[releaseCaches]] when a run completes ([[graft.pipeline.DedupJob]]
+    * does); releasing is always safe because persist is an optimization
+    * — unlike a localCheckpoint, an unpersisted relation recomputes
+    * from lineage. */
+  private val persistedRelations =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private[graft] def trackPersisted(df: DataFrame): DataFrame = {
+    persistedRelations.add(df)
+    df
+  }
+
+  /** Unpersist every relation a dedup operator persisted since the last
+    * release (never touches caller caches — only this module's). */
+  def releaseCaches(): Unit = {
+    var df = persistedRelations.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = persistedRelations.poll()
+    }
+  }
+
   /** The three observation metrics every declarative generator emits:
     * candidate-bucket count, mega-buckets dropped, rows inside them. */
   private def observeBuckets(counts: DataFrame, stats: Option[Observation],
@@ -115,14 +142,14 @@ object Dedup {
     // one. The cached relation is (id, band, band_key) — tens of bytes
     // per row, nothing payload-sized — and the CacheManager keys on the
     // analyzed plan, so repeated runs of the same query reuse one entry.
-    val banded = df.select(col(idCol),
+    val banded = trackPersisted(df.select(col(idCol),
         array_distinct(TextFunctions.tokens(col(textCol))).as("toks"))
       .select(col(idCol),
         TextFunctions.minhashSigFromTokens(col("toks"), k).as("sig"))
       .select(col(idCol),
         posexplode(TextFunctions.bandKeysFromSig(col("sig"), k, rows))
           .as(Seq("band", "band_key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ok = banded.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxBucket)
@@ -329,11 +356,11 @@ object Dedup {
     // (round-3 PLANS.md showed exactly four redundant FileScans). The
     // cached rows are (id, sh:long, band:int, key:long) — 16 bytes of
     // hash per doc-band, never the payload.
-    val banded = hashed.select(col("id"), col("sh"),
+    val banded = trackPersisted(hashed.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
     val ok = observeBuckets(counts, stats, maxBucket)
@@ -380,12 +407,12 @@ object Dedup {
     // re-scanned and re-normalized up to 5× per query. The cached rows
     // are (id, bucket, unit vector): the reduced relation, already
     // pruned to the columns the join needs.
-    val v = Ann.withNormalized(
+    val v = trackPersisted(Ann.withNormalized(
         df.select(col(idCol).as("id"), col(bucketCol).as("bkt"),
           col(vecCol).as("_emb")),
         "_emb", "v")
       .select(col("id"), col("bkt"), col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = v.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
     val ok = observeBuckets(counts, stats, maxBucket)
       .filter(col("n") >= 2 && col("n") <= maxBucket)

@@ -39,7 +39,10 @@ object DedupJob {
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val obs = Observation(s"dedup-$runId")
     val t0 = System.nanoTime()
-    val outputRows = body(obs)
+    // release the operators' single-scan caches when the run completes
+    // (success or failure) — a long-lived driver running dedup over
+    // changing inputs would otherwise accumulate one entry per input
+    val outputRows = try body(obs) finally Dedup.releaseCaches()
     val sec = (System.nanoTime() - t0) / 1e9
     val row = obs.get
     // sum() over an all-dropped/empty run observes SQL NULL, which
@@ -70,7 +73,7 @@ object DedupJob {
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val acc = Dedup.BucketAccounting(spark)
     val t0 = System.nanoTime()
-    val pairs = build(acc).count()
+    val pairs = try build(acc).count() finally Dedup.releaseCaches()
     val sec = (System.nanoTime() - t0) / 1e9
     val res = DedupRunResult(runId, operator, pairs, -1L,
       acc.megaBucketsDropped.value, acc.docsInMegaBuckets.value, sec)

@@ -70,23 +70,28 @@ object StreamingExtraction {
     * lateness window's distinct-content volume — not by stream
     * lifetime. */
   def dedupByContentStream(turns: DataFrame,
-      lateness: String = "7 days"): DataFrame = {
-    val withFp = turns.withColumn("fp",
-      md5(graft.functions.TextFunctions.normText(col("text"))))
-    // null text → null fingerprint, and dropDuplicatesWithinWatermark
-    // treats null keys as EQUAL — without the split every null-text
-    // turn (e.g. tool-only turns) after the first inside the lateness
-    // window would be silently dropped despite being a distinct row.
-    // Same discipline as the batch paths (simhashPairs, IngestApp
-    // dedup): null keys are excluded from dedup, never conflated.
-    val deduped = withFp.filter(col("fp").isNotNull)
+      lateness: String = "7 days"): DataFrame =
+    turns
+      // null text → null md5, and dropDuplicatesWithinWatermark treats
+      // null keys as EQUAL — every null-text turn (e.g. tool-only
+      // turns) after the first inside the lateness window would be
+      // silently dropped despite being a distinct row. Instead of
+      // splitting the stream (a self-union scans the source and runs
+      // normText+md5 twice per micro-batch), null-text rows get a
+      // SURROGATE key from their natural identity (conv_id, turn_idx):
+      // two distinct null-text turns can never share it, while a true
+      // re-delivery of the same turn still collapses — exactly the
+      // batch late-data policy's keyed dedupe. The colon-separated
+      // "nulltext:..." form cannot collide with a 32-hex md5.
+      .withColumn("fp", coalesce(
+        md5(graft.functions.TextFunctions.normText(col("text"))),
+        concat_ws(":", lit("nulltext"), col("conv_id"),
+          col("turn_idx").cast("string"))))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
-    deduped.unionByName(withFp.filter(col("fp").isNull))
       // the fingerprint is dedup state, not output: keep the caller's
       // schema so the survivors wire into any turns-schema sink
       .drop("fp")
-  }
 
   /** Per-conversation rolling state (arbitrary stateful processing —
     * KeyValueGroupedDataset.mapGroupsWithState): turn counts, payload

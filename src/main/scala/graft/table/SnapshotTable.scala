@@ -333,13 +333,14 @@ final class SnapshotTable(val root: String) {
   private def nextSeq(): Int = { seq += 1; seq }
 
   /** Timestamp-prefixed (so lexicographic order == commit order) with a
-    * random suffix so two same-millisecond writers — separate table
-    * handles or processes each carrying their own seq — can never mint
-    * the same id and collide in one DATA DIRECTORY while racing toward
-    * the commit lock; the lock then arbitrates the commit itself. */
+    * 48-bit random suffix so two same-millisecond writers — separate
+    * table handles or processes each carrying their own seq — cannot
+    * (p ≈ 2⁻⁴⁸ per race) mint the same id and collide in one DATA
+    * DIRECTORY while racing toward the commit lock; the lock then
+    * arbitrates the commit itself. */
   private def newSnapshotId(seqNo: Int): String =
     f"${System.currentTimeMillis()}%013d-$seqNo%06d-" +
-      java.util.UUID.randomUUID().toString.take(4)
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   private def listParquet(dir: java.nio.file.Path): Seq[String] = {
     import scala.jdk.CollectionConverters._

@@ -23,8 +23,10 @@ for line in open(results_file):
         res[lvl]["all"].extend(d["all"])
         if d["sec"] < res[lvl]["sec"]:
             res[lvl]["sec"] = d["sec"]
-            if "task_sec" in d:
-                res[lvl]["task_sec"] = d["task_sec"]
+            # task_sec must come from the SAME rep as sec (or be absent):
+            # a stale value from a different run would make the
+            # decomposition pair mismatched task-seconds and wall-clock
+            res[lvl]["task_sec"] = d.get("task_sec")
     else:
         res[lvl] = d
 
