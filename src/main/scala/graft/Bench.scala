@@ -169,10 +169,12 @@ object Bench {
       .ingest(turns, TranscriptGen.WatermarkTs, spark)
     val t0 = System.nanoTime()
     // aggregate over extracted_text so Catalyst cannot prune the
-    // extraction away (a bare count() would measure a scan-only plan)
+    // extraction away (a bare count() would measure a scan-only plan);
+    // octet_length is O(1) per row — length()'s O(n) char count was
+    // ~17% of the measured work, a forcing-function artifact
     val r = graft.pipeline.ExtractionPipeline.extractExpr(spark, eligible)
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.octet_length(
           org.apache.spark.sql.functions.col("extracted_text")))).head()
     val n = r.getLong(0)
     ((n.toDouble), (System.nanoTime() - t0) / 1e9)

@@ -54,11 +54,13 @@ object ScalingBench {
         val eligible = graft.pipeline.Selection.ingest(
           turns, graft.fixtures.TranscriptGen.WatermarkTs, spark)
         val t0 = System.nanoTime()
-        // sum(length(extracted_text)) forces the extraction — count()
-        // alone lets Catalyst prune the extractall projection
+        // sum(octet_length(extracted_text)) forces the extraction (O(1)
+        // per row, unlike length()'s O(n) char count — ~17% of measured
+        // work was the forcing aggregate itself); bare count() would let
+        // Catalyst prune the extractall projection
         val r = graft.pipeline.ExtractionPipeline.extractExpr(spark, eligible)
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.octet_length(
           org.apache.spark.sql.functions.col("extracted_text")))).head()
     val n = r.getLong(0)
         (n.toDouble, (System.nanoTime() - t0) / 1e9)

@@ -65,7 +65,7 @@ object ScalingDiag {
         turns, graft.fixtures.TranscriptGen.WatermarkTs, spark)
       graft.pipeline.ExtractionPipeline.extractExpr(spark, eligible)
         .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.octet_length(
             org.apache.spark.sql.functions.col("extracted_text")))).head()
     }
     def accounted(label: String): Unit = {

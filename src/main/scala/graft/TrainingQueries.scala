@@ -353,6 +353,43 @@ object TrainingQueries {
           floor((col("cum") - col("n_tok")) / 2000).cast("int").as("shard"))
     }),
 
+    // Gopher-style repetition signal SUITE (Rae et al. 2021 §A1.1):
+    // top-word fraction, top-bigram fraction, duplicate-line fraction —
+    // the standard repetitious-text filters beyond q42's duplicate-token
+    // fraction. Per-doc aggregations over exploded tokens/bigrams:
+    // map-side partial agg on the even (doc_id, gram) key, then a
+    // doc-keyed rollup — no corpus-wide skew key anywhere. Docs with a
+    // single token have no bigram (left join, fraction 0); the output
+    // domain is docs with ≥1 token on both sides.
+    "q58_gopher_repetition" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      def topFrac(grams: DataFrame, out: String) = grams
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(Ann.round4(max(col("c")).cast("double") /
+          sum(col("c")).cast("double")).as(out))
+      val toks = base.select(col("doc_id"),
+        TextFunctions.tokens(lower(col("text"))).as("t"))
+      val word = topFrac(
+        toks.select(col("doc_id"), explode(col("t")).as("g")),
+        "top_word_frac")
+      val bigram = topFrac(
+        toks.select(col("doc_id"),
+          explode(TextFunctions.ngramsFromTokens(col("t"), 2)).as("g")),
+        "top_bigram_frac")
+      val lines = base.filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+        .select(col("doc_id"),
+          Ann.round4(lit(1.0) -
+            size(array_distinct(col("ls"))).cast("double") /
+            size(col("ls")).cast("double")).as("dup_line_frac"))
+      word.join(lines, "doc_id")
+        .join(bigram, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("top_word_frac"),
+          coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+          col("dup_line_frac"))
+    }),
+
     // BPE-ish regex token counting (letters / digits / punct runs) —
     // the subword-style counterpart of whitespace q20
     "q37_bpe_tokens" -> ((s, dir) =>
@@ -573,6 +610,39 @@ object TrainingQueries {
          |  SELECT doc_id,
          |    row_number() OVER (PARTITION BY md5($NORM) ORDER BY doc_id) AS rn
          |  FROM all_docs) WHERE rn > 1""".stripMargin,
+
+    "q58_gopher_repetition" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($TOKL) AS g FROM documents
+         |  WHERE len(trim(text)) > 0),
+         |wc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2),
+         |word AS (
+         |  SELECT doc_id,
+         |    floor(max(c)::DOUBLE / sum(c)::DOUBLE * 10000 + 0.5) / 10000
+         |      AS top_word_frac
+         |  FROM wc GROUP BY doc_id),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM (SELECT doc_id, $TOKL AS t FROM documents
+         |        WHERE len(trim(text)) > 0)),
+         |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bi AS (
+         |  SELECT doc_id,
+         |    floor(max(c)::DOUBLE / sum(c)::DOUBLE * 10000 + 0.5) / 10000
+         |      AS top_bigram_frac
+         |  FROM bc GROUP BY doc_id),
+         |ln AS (
+         |  SELECT doc_id,
+         |    floor((1.0 - len(list_distinct(ls))::DOUBLE / len(ls)::DOUBLE)
+         |          * 10000 + 0.5) / 10000 AS dup_line_frac
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+         |        FROM documents WHERE text IS NOT NULL))
+         |SELECT w.doc_id, w.top_word_frac,
+         |  coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+         |  l.dup_line_frac
+         |FROM word w JOIN ln l USING (doc_id)
+         |LEFT JOIN bi b USING (doc_id)""".stripMargin,
 
     "q37_bpe_tokens" ->
       """SELECT doc_id, len(regexp_extract_all(text,

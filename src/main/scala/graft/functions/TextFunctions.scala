@@ -31,17 +31,22 @@ object TextFunctions {
       lit(1.0) - size(array_distinct(t)).cast("double") /
         size(t).cast("double")).otherwise(0.0))
 
-  /** Distinct word n-gram shingles from a PRE-MATERIALIZED token column
-    * (stage `tokens` as its own Project first — see the staging note on
-    * [[minhashSigFromTokens]]). */
-  def shinglesFromTokens(t: Column, n: Int): Column = {
+  /** ALL word n-grams (duplicates kept, in order) from a
+    * PRE-MATERIALIZED token column — the repetition-signal counterpart
+    * of [[shinglesFromTokens]] (which distincts for set semantics). */
+  def ngramsFromTokens(t: Column, n: Int): Column = {
     val count = size(t) - (n - 1)
     val grams = transform(
       sequence(lit(0), greatest(count - 1, lit(0))),
       i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
-    array_distinct(
-      when(count <= 0, array().cast("array<string>")).otherwise(grams))
+    when(count <= 0, array().cast("array<string>")).otherwise(grams)
   }
+
+  /** Distinct word n-gram shingles from a PRE-MATERIALIZED token column
+    * (stage `tokens` as its own Project first — see the staging note on
+    * [[minhashSigFromTokens]]). */
+  def shinglesFromTokens(t: Column, n: Int): Column =
+    array_distinct(ngramsFromTokens(t, n))
 
   /** Distinct word n-gram shingles of raw text (single-Project
     * convenience; the token array is inlined into each gram slot). */
