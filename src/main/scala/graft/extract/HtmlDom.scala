@@ -142,7 +142,12 @@ object HtmlDom {
           textBuf.append(c); i += 1
         }
       } else {
-        textBuf.append(c); i += 1
+        // bulk-append the whole text run up to the next '<' (one range
+        // copy instead of a per-char append call)
+        val start = i
+        i += 1
+        while (i < n && html.charAt(i) != '<') i += 1
+        textBuf.underlying.append(html, start, i)
       }
     }
     flushText()

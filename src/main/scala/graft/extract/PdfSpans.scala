@@ -38,7 +38,7 @@ object PdfSpans {
         val e = pdf.indexOf("endstream", c0)
         if (e < 0) false
         else {
-          parseContentStream(pdf.substring(c0, e), out)
+          parseContentStream(pdf, c0, e, out)
           from = e + "endstream".length
           true
         }
@@ -67,9 +67,19 @@ object PdfSpans {
 
   // --- content-stream operator machine -------------------------------
 
-  private def parseContentStream(cs: String, out: ArrayBuffer[PdfSpan]): Unit = {
-    var i = 0
-    val n = cs.length
+  /** Delimiter membership at O(1) (replaces a per-char indexOf scan of
+    * the 10-char delimiter string in the two hottest token loops). */
+  private val Delim: Array[Boolean] = {
+    val a = new Array[Boolean](128)
+    "()<>[]{}/%".foreach(c => a(c) = true)
+    a
+  }
+  @inline private def isDelim(c: Char): Boolean = c < 128 && Delim(c)
+
+  private def parseContentStream(cs: String, from: Int, until: Int,
+      out: ArrayBuffer[PdfSpan]): Unit = {
+    var i = from
+    val n = until
     // operand stack: numbers and strings (arrays flattened to a string)
     val operands = ArrayBuffer.empty[Any]
     var lineX = 0.0; var lineY = 0.0 // text line origin
@@ -148,7 +158,7 @@ object PdfSpans {
       } else if (c == '/') { // name object
         i += 1
         while (i < n && !Character.isWhitespace(cs.charAt(i)) &&
-               "()<>[]{}/%".indexOf(cs.charAt(i)) < 0) i += 1
+               !isDelim(cs.charAt(i))) i += 1
         operands += "/name"
       } else if (c == '<') { // hex string or dict — skip balanced
         if (i + 1 < n && cs.charAt(i + 1) == '<') {
@@ -171,7 +181,7 @@ object PdfSpans {
       } else { // operator token
         val t0 = i
         while (i < n && !Character.isWhitespace(cs.charAt(i)) &&
-               "()<>[]{}/%".indexOf(cs.charAt(i)) < 0) i += 1
+               !isDelim(cs.charAt(i))) i += 1
         if (i > t0) op(cs.substring(t0, i)) else i += 1
       }
     }
@@ -211,7 +221,15 @@ object PdfSpans {
         depth -= 1
         if (depth > 0) sb.append(c)
         i += 1
-      } else { sb.append(c); i += 1 }
+      } else {
+        // bulk-append the run up to the next escape/paren (one range
+        // copy instead of a per-char append call)
+        val r0 = i
+        i += 1
+        while (i < n && { val cc = cs.charAt(i)
+          cc != '\\' && cc != '(' && cc != ')' }) i += 1
+        sb.underlying.append(cs, r0, i)
+      }
     }
     (sb.toString, i)
   }
