@@ -239,6 +239,19 @@ class DedupSpec extends SparkSpec {
     assert(drops == Set(2L, 4L))
   }
 
+  test("releaseCaches: safe after results, results recompute, idempotent") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "something else entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 16)
+    val before = pairs.count()
+    // releasing the tracked single-scan caches must never change
+    // results — persist is an optimization, the lineage recomputes
+    Dedup.releaseCaches()
+    assert(pairs.count() == before)
+    Dedup.releaseCaches() // registry drained — second call is a no-op
+  }
+
   test("jaccard pairs work with string doc ids (and match the long-id run)") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
