@@ -153,6 +153,17 @@ object TrainingQueries {
           n = 3, threshold = 0.2, K, R),
         "a", "b")),
 
+    // the SAME clustering contract computed by the O(log n)-round
+    // large-star/small-star algorithm (Kiveris et al.) instead of
+    // O(diameter) min-label propagation — the variant that still
+    // converges on long-chain dup graphs (a template drifting one
+    // token per crawl). Same edge set, same reachability oracle as q50.
+    "q59_dup_clusters_star" -> ((s, dir) =>
+      Dedup.dupClustersStar(
+        Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
+          n = 3, threshold = 0.2, K, R),
+        "a", "b")),
+
     // Gopher-style repetition signal: duplicate-token fraction per doc
     // (1 - distinct/total) — the standard repetitious-text filter input
     "q42_repetition" -> ((s, dir) =>
@@ -696,6 +707,17 @@ object TrainingQueries {
     // transitive closure over the q31 edge set: cluster = min reachable
     // id (the same deterministic min-wins keeper rule as exact dedup)
     "q50_dup_clusters" ->
+      s"""WITH RECURSIVE ${jaccardCtes(hashed = false)},
+         |sym AS (SELECT a AS src, b AS dst FROM jp
+         |        UNION SELECT b, a FROM jp),
+         |reach AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT src AS id, least(src, min(dst)) AS cluster
+         |FROM reach GROUP BY src""".stripMargin,
+
+    "q59_dup_clusters_star" ->
       s"""WITH RECURSIVE ${jaccardCtes(hashed = false)},
          |sym AS (SELECT a AS src, b AS dst FROM jp
          |        UNION SELECT b, a FROM jp),

@@ -526,6 +526,94 @@ object Dedup {
     } finally sym.unpersist(blocking = false)
   }
 
+  /** Transitive clusters via alternating large-star / small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond"): converges in O(log n) ROUNDS regardless of component
+    * diameter — the scale path for graphs [[dupClusters]]'s
+    * O(diameter) min-label propagation cannot finish (long chains,
+    * e.g. a template drifting one token per crawl for months). Each
+    * round is two join+aggregate jobs over the edge set:
+    *
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node attaches its smaller neighbors (and
+    *    itself) to the minimum of its smaller neighborhood.
+    *
+    * Both preserve connectivity and only ever point edges at smaller
+    * ids; the fixpoint is a star per component rooted at its min id —
+    * the same (id, cluster=min) output and keeper rule as
+    * [[dupClusters]], verified against the same reachability oracle.
+    * Convergence detection is a count + order-independent xxhash64
+    * fingerprint of the edge set, computed in one aggregation per
+    * round.
+    */
+  def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      s.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val smaller = s.filter(col("v") < col("u"))
+      val mins = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val attach = smaller.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      attach.union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, String) = {
+      // decimal sum: order-independent AND overflow-proof under ANSI
+      // (a long sum of 2⁶³-scale hashes throws ARITHMETIC_OVERFLOW)
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    var e = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // every vertex of the input, BEFORE the edge set degenerates to
+    // stars (roots drop out of the u side at the fixpoint). Backs the
+    // RETURNED lazy DataFrame, so its checkpoint blocks stay live —
+    // the same lifecycle as dupClusters' final label table.
+    val nodes = sym(e).select(col("u").as("id")).distinct()
+      .localCheckpoint(true)
+    var fp = fingerprint(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      // superseded edge set — next is materialized, e is never read again
+      freeLocalCheckpoint(e)
+      e = next
+      converged = nfp == fp
+      fp = nfp
+      iter += 1
+    }
+    require(converged,
+      s"dupClustersStar did not converge in $maxIter rounds")
+    // fixpoint edges are (member → root); roots have no outgoing edge
+    nodes.join(e.select(col("u").as("id"), col("v").as("root")),
+        Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(min(col("root")).as("r"))
+      .select(col("id"),
+        coalesce(col("r"), col("id")).as("cluster"))
+  }
+
   /** Release the block-manager storage behind a `localCheckpoint(true)`
     * Dataset. Must only be called on a table that will NEVER be read
     * again: local checkpointing truncates lineage, so the persisted

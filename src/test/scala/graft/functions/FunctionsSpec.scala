@@ -239,6 +239,34 @@ class DedupSpec extends SparkSpec {
     assert(drops == Set(2L, 4L))
   }
 
+  test("dupClustersStar: O(log n) rounds — converges on a 200-node chain") {
+    // a path graph is the adversarial diameter case: min-label
+    // propagation needs ~200 rounds (dupClusters' default maxIter=20
+    // refuses it); the star algorithm finishes in a handful
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val star = Dedup.dupClustersStar(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 200 && star.values.forall(_ == 0L))
+    intercept[IllegalArgumentException] {
+      Dedup.dupClusters(chain, "a", "b").collect()
+    }
+  }
+
+  test("dupClustersStar agrees with dupClusters on a multi-component graph") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), // triangle
+      (10L, 11L),                   // pair
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), // short chain
+      (30L, 31L), (31L, 30L)        // duplicate orientation
+    ).toDF("a", "b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLabels = m(Dedup.dupClusters(edges, "a", "b"))
+    val viaStars = m(Dedup.dupClustersStar(edges, "a", "b"))
+    assert(viaStars == viaLabels)
+    assert(viaStars(24L) == 20L && viaStars(11L) == 10L && viaStars(3L) == 1L)
+  }
+
   test("releaseCaches: safe after results, results recompute, idempotent") {
     val df = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
