@@ -401,6 +401,32 @@ object TrainingQueries {
           col("dup_line_frac"))
     }),
 
+    // C4-style quality signal suite (Raffel et al. 2020 §2.2 + Gopher
+    // word-length band): terminal-punctuation line fraction, mean word
+    // length, lorem-ipsum / code-brace flags, sentence count — the
+    // line- and doc-level heuristics that complement q22's composite
+    // score. Pure codegen'd per-row expressions; no shuffle at all.
+    "q60_c4_signals" -> ((s, dir) =>
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          split(col("text"), "\n").as("ls"),
+          TextFunctions.tokens(col("text")).as("t"),
+          lower(col("text")).as("lt"),
+          col("text"))
+        .select(col("doc_id"),
+          Ann.round4(
+            size(filter(col("ls"), l => trim(l).rlike("[.!?]$")))
+              .cast("double") / size(col("ls")).cast("double"))
+            .as("punct_line_frac"),
+          when(size(col("t")) > 0, Ann.round4(
+            length(regexp_replace(trim(col("text")), "\\s+", ""))
+              .cast("double") / size(col("t")).cast("double")))
+            .otherwise(0.0).as("mean_word_len"),
+          col("lt").contains("lorem ipsum").as("has_lorem"),
+          col("lt").contains("{").as("has_brace"),
+          regexp_count(col("text"), lit("[.!?]")).cast("long")
+            .as("n_sentences"))),
+
     // BPE-ish regex token counting (letters / digits / punct runs) —
     // the subword-style counterpart of whitespace q20
     "q37_bpe_tokens" -> ((s, dir) =>
@@ -654,6 +680,23 @@ object TrainingQueries {
          |  l.dup_line_frac
          |FROM word w JOIN ln l USING (doc_id)
          |LEFT JOIN bi b USING (doc_id)""".stripMargin,
+
+    "q60_c4_signals" -> {
+      val nTok = s"(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($TOK) END)"
+      s"""SELECT doc_id,
+         |  floor(len(list_filter(string_split(text, chr(10)),
+         |          l -> regexp_matches(trim(l), '[.!?]$$')))::DOUBLE
+         |    / len(string_split(text, chr(10)))::DOUBLE * 10000 + 0.5) / 10000
+         |    AS punct_line_frac,
+         |  CASE WHEN $nTok > 0 THEN
+         |    floor(len(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
+         |      / $nTok::DOUBLE * 10000 + 0.5) / 10000
+         |  ELSE 0.0 END AS mean_word_len,
+         |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |  contains(lower(text), '{') AS has_brace,
+         |  len(regexp_extract_all(text, '[.!?]'))::BIGINT AS n_sentences
+         |FROM documents WHERE text IS NOT NULL""".stripMargin
+    },
 
     "q37_bpe_tokens" ->
       """SELECT doc_id, len(regexp_extract_all(text,
