@@ -401,6 +401,57 @@ object TrainingQueries {
           col("dup_line_frac"))
     }),
 
+    // corpus-wide exact LINE dedup with reconstruction (the C4
+    // "discard repeated spans across the corpus" operation at line
+    // granularity): every non-empty line keeps only its FIRST
+    // occurrence — min (doc_id, idx) order — and each doc's text is
+    // rebuilt from its surviving lines. Scale shape: the global
+    // keep-decision is a groupBy(fp).agg(min(struct(doc_id, idx))) —
+    // map-side partial aggregation absorbs the mega-duplicate
+    // boilerplate lines that would make a row_number window's hottest
+    // fp partition a straggler — and the line payload rides only the
+    // doc-keyed join/rebuild shuffles, never the fp exchange.
+    // Whitespace-only lines always survive (document structure, and
+    // they would otherwise all collapse onto one global key).
+    "q61_line_dedup" -> ((s, dir) => {
+      // the sf documents are single-line and dup-free, so both sides
+      // synthesize the same overlapping multi-line corpus: doc i's text
+      // becomes lines (i, i+1, i+2) — every interior line appears in 3
+      // consecutive docs, giving the operator real corpus-wide
+      // duplicates to drop at any sf (the q49/q56 synthesis pattern)
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val multi = d0.as("a")
+        .join(d0.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .join(d0.as("c"), col("c.doc_id") === col("a.doc_id") + 2)
+        .select(col("a.doc_id").as("doc_id"),
+          concat_ws("\n", col("a.text"), col("b.text"), col("c.text"))
+            .as("text"))
+      val base = multi.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("idx0", "line")))
+        .select(col("doc_id"), (col("idx0") + 1).as("idx"), col("line"))
+      val nonEmpty = base.filter(trim(col("line")) =!= "")
+      val keyed = nonEmpty.select(col("doc_id"), col("idx"),
+        md5(col("line")).as("fp"))
+      val first = keyed.groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+        .select(col("f.doc_id").as("doc_id"), col("f.idx").as("idx"))
+      val kept = nonEmpty.join(first, Seq("doc_id", "idx"), "left_semi")
+        .unionByName(base.filter(trim(col("line")) === ""))
+      val agg = kept.groupBy(col("doc_id"))
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("line")))),
+            e => e.getField("line")), "\n").as("clean_text"),
+          count(lit(1)).as("n_kept"))
+      val tot = base.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+      tot.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_dropped"))
+    }),
+
     // C4-style quality signal suite (Raffel et al. 2020 §2.2 + Gopher
     // word-length band): terminal-punctuation line fraction, mean word
     // length, lorem-ipsum / code-brace flags, sentence count — the
@@ -680,6 +731,35 @@ object TrainingQueries {
          |  l.dup_line_frac
          |FROM word w JOIN ln l USING (doc_id)
          |LEFT JOIN bi b USING (doc_id)""".stripMargin,
+
+    "q61_line_dedup" ->
+      s"""WITH docs3 AS (
+         |  SELECT a.doc_id, concat_ws(chr(10), a.text, b.text, c.text) AS text
+         |  FROM documents a
+         |  JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  JOIN documents c ON c.doc_id = a.doc_id + 2),
+         |lx AS (
+         |  SELECT doc_id, u['idx'] AS idx, u['line'] AS line FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ls)+1),
+         |      i -> {'idx': i, 'line': ls[i]})) AS u
+         |    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+         |          FROM docs3 WHERE text IS NOT NULL))),
+         |ne AS (SELECT doc_id, idx, line,
+         |         row_number() OVER (PARTITION BY md5(line)
+         |                            ORDER BY doc_id, idx) AS rn
+         |       FROM lx WHERE trim(line) <> ''),
+         |keep AS (SELECT doc_id, idx, line FROM ne WHERE rn = 1
+         |         UNION ALL
+         |         SELECT doc_id, idx, line FROM lx WHERE trim(line) = ''),
+         |agg AS (SELECT doc_id,
+         |          string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+         |          count(*) AS n_kept
+         |        FROM keep GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_lines FROM lx GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+         |  (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
+         |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q60_c4_signals" -> {
       val nTok = s"(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($TOK) END)"
