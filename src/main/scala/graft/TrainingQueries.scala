@@ -465,12 +465,19 @@ object TrainingQueries {
           lower(col("text")).as("lt"),
           col("text"))
         .select(col("doc_id"),
+          // last-char membership instead of a '$'-anchored regex:
+          // Java's '$' matches before a trailing \r / Unicode line
+          // terminator while RE2's does not — an oracle time-bomb on
+          // CRLF fixtures; substring(-1) has one semantics everywhere
           Ann.round4(
-            size(filter(col("ls"), l => trim(l).rlike("[.!?]$")))
+            size(filter(col("ls"), l =>
+              substring(trim(l), -1, 1).isin(".", "!", "?")))
               .cast("double") / size(col("ls")).cast("double"))
             .as("punct_line_frac"),
+          // explicit whitespace class: Java \s includes \x0B, RE2's
+          // does not — spell the set out so both engines strip the same
           when(size(col("t")) > 0, Ann.round4(
-            length(regexp_replace(trim(col("text")), "\\s+", ""))
+            length(regexp_replace(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+", ""))
               .cast("double") / size(col("t")).cast("double")))
             .otherwise(0.0).as("mean_word_len"),
           col("lt").contains("lorem ipsum").as("has_lorem"),
@@ -765,11 +772,11 @@ object TrainingQueries {
       val nTok = s"(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($TOK) END)"
       s"""SELECT doc_id,
          |  floor(len(list_filter(string_split(text, chr(10)),
-         |          l -> regexp_matches(trim(l), '[.!?]$$')))::DOUBLE
+         |          l -> right(trim(l), 1) IN ('.', '!', '?')))::DOUBLE
          |    / len(string_split(text, chr(10)))::DOUBLE * 10000 + 0.5) / 10000
          |    AS punct_line_frac,
          |  CASE WHEN $nTok > 0 THEN
-         |    floor(len(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
+         |    floor(len(regexp_replace(trim(text), '[ \\t\\n\\r\\f\\x0B]+', '', 'g'))::DOUBLE
          |      / $nTok::DOUBLE * 10000 + 0.5) / 10000
          |  ELSE 0.0 END AS mean_word_len,
          |  contains(lower(text), 'lorem ipsum') AS has_lorem,

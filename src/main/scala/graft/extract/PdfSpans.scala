@@ -140,7 +140,7 @@ object PdfSpans {
       else if (c == '%') { // comment to EOL
         while (i < n && cs.charAt(i) != '\n') i += 1
       } else if (c == '(') {
-        val (s, next) = parseString(cs, i)
+        val (s, next) = parseString(cs, i, n)
         operands += s; i = next
       } else if (c == '[') {
         // TJ array: concatenate the strings, ignore kerning numbers
@@ -149,7 +149,7 @@ object PdfSpans {
         while (i < n && cs.charAt(i) != ']') {
           val cc = cs.charAt(i)
           if (cc == '(') {
-            val (s, next) = parseString(cs, i)
+            val (s, next) = parseString(cs, i, n)
             sb.append(s); i = next
           } else i += 1
         }
@@ -169,8 +169,10 @@ object PdfSpans {
             else i += 1
           }
         } else {
+          // bounded: the in-place parse must never scan past the
+          // stream's `until` (the old substring enforced this shape)
           val e = cs.indexOf('>', i)
-          i = if (e < 0) n else e + 1
+          i = if (e < 0 || e >= n) n else e + 1
         }
       } else if (c == '-' || c == '+' || c == '.' || Character.isDigit(c)) {
         val t0 = i
@@ -190,10 +192,10 @@ object PdfSpans {
   /** Parse a PDF literal string starting at `start` (pointing at '(').
     * Handles nested parens and standard escapes. Returns (text, next).
     */
-  private def parseString(cs: String, start: Int): (String, Int) = {
+  private def parseString(cs: String, start: Int, until: Int): (String, Int) = {
     val sb = new StringBuilder
     var i = start + 1
-    val n = cs.length
+    val n = until // never scan past the enclosing stream's boundary
     var depth = 1
     while (i < n && depth > 0) {
       val c = cs.charAt(i)

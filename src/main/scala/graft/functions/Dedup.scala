@@ -549,9 +549,14 @@ object Dedup {
     */
   def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
+    // both orientations from ONE pass over the edge set (the union-of-
+    // selects form would evaluate the upstream subtree twice — the same
+    // rationale as dupClusters' sym)
     def sym(e: DataFrame): DataFrame =
-      e.select(col("u"), col("v"))
-        .union(e.select(col("v").as("u"), col("u").as("v")))
+      e.select(explode(array(
+          struct(col("u").as("s"), col("v").as("d")),
+          struct(col("v").as("s"), col("u").as("d")))).as("e"))
+        .select(col("e.s").as("u"), col("e.d").as("v"))
     def largeStar(e: DataFrame): DataFrame = {
       val s = sym(e)
       val mins = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
@@ -584,27 +589,47 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    // every vertex of the input, BEFORE the edge set degenerates to
-    // stars (roots drop out of the u side at the fixpoint). Backs the
-    // RETURNED lazy DataFrame, so its checkpoint blocks stay live —
-    // the same lifecycle as dupClusters' final label table.
-    val nodes = sym(e).select(col("u").as("id")).distinct()
+    // every vertex of the INPUT pairs — including isolated self-pair
+    // vertices whose only edge is (a, a), which the edge set above
+    // drops but dupClusters still labels (a → a); computed before the
+    // edge set degenerates to stars. Backs the RETURNED lazy DataFrame,
+    // so its checkpoint blocks stay live — the same lifecycle as
+    // dupClusters' final label table.
+    val nodes = pairs
+      .select(explode(array(col(aCol), col(bCol))).as("id"))
+      .distinct()
       .localCheckpoint(true)
     var fp = fingerprint(e)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nfp = fingerprint(next)
-      // superseded edge set — next is materialized, e is never read again
-      freeLocalCheckpoint(e)
-      e = next
-      converged = nfp == fp
-      fp = nfp
-      iter += 1
+    try {
+      while (!converged && iter < maxIter) {
+        // each phase materializes before the next reads it: smallStar
+        // references its input through sym + two joins, so an
+        // unmaterialized large-star plan would re-execute its
+        // join+aggregate subtree several times per round
+        val ls = largeStar(e).localCheckpoint(true)
+        val next = smallStar(ls).localCheckpoint(true)
+        val nfp = fingerprint(next)
+        // superseded sets — next is materialized, neither is read again
+        freeLocalCheckpoint(ls)
+        freeLocalCheckpoint(e)
+        e = next
+        converged = nfp == fp
+        fp = nfp
+        iter += 1
+      }
+      require(converged,
+        s"dupClustersStar did not converge in $maxIter rounds")
+    } catch {
+      case t: Throwable =>
+        // failure path: nothing will ever read these — free the
+        // eagerly-materialized blocks instead of pinning them for the
+        // driver's lifetime (Verify/bench catch per-query failures)
+        freeLocalCheckpoint(e)
+        freeLocalCheckpoint(nodes)
+        throw t
     }
-    require(converged,
-      s"dupClustersStar did not converge in $maxIter rounds")
     // fixpoint edges are (member → root); roots have no outgoing edge
     nodes.join(e.select(col("u").as("id"), col("v").as("root")),
         Seq("id"), "left")
