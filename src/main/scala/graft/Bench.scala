@@ -91,10 +91,15 @@ object Bench {
       if (sfDir.contains("0.001")) 50
       else if (sfDir.contains("0.01")) 500
       else 30000
-    // the 57 queries leave persisted dedup relations in the block
-    // manager; drop them so the headline measures extraction, not
-    // extraction-under-cache-pressure
+    // the 61 queries leave persisted dedup relations AND the cluster
+    // queries' result-backing localCheckpoint blocks in the block
+    // manager (the latter are RDD-level — cacheManager can't see
+    // them); drop both so the headline measures extraction, not
+    // extraction-under-cache-pressure (measured: 2.0 s → 5.7 s with
+    // the leftover blocks pinned)
     spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     timeExtract(spark, math.max(nConvs / 4, 50))
     val r1 = timeExtract(spark, nConvs)
     val r2 = timeExtract(spark, nConvs)
