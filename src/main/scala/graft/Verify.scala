@@ -21,6 +21,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // once a query's result is on disk nothing references its state:
+      // drop the dedup single-scan caches AND the cluster queries'
+      // result-backing localCheckpoint blocks (RDD-level — invisible
+      // to cacheManager), so 61 queries in one JVM don't accumulate
+      // pinned block-manager storage
+      graft.functions.Dedup.releaseCaches()
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
