@@ -401,6 +401,32 @@ object TrainingQueries {
           col("dup_line_frac"))
     }),
 
+    // exact dedup with the KEEP-MOST-COMPLETE keeper rule: within a
+    // canonical-fingerprint group the survivor is the longest RAW text
+    // (ties → min id) — the crawl-completeness heuristic (a re-crawl
+    // that kept trailing whitespace/furniture normalizes to the same
+    // canonical text but is the more complete capture). Both sides
+    // synthesize whitespace-padded copies of every 10th doc so the rule
+    // actually picks a non-min-id keeper at any sf. Same staged-signal
+    // window shape as q51: the exchange carries (doc_id, fp, len) only.
+    "q62_longest_keeper" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+      val padded = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit("  ")).as("text"))
+      d.unionByName(padded)
+        .select(col("doc_id"),
+          md5(TextFunctions.normText(col("text"))).as("fp"),
+          length(col("text")).as("len"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp"))
+            .orderBy(col("len").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("len"))
+    }),
+
     // corpus-wide exact LINE dedup with reconstruction (the C4
     // "discard repeated spans across the corpus" operation at line
     // granularity): every non-empty line keeps only its FIRST
@@ -738,6 +764,18 @@ object TrainingQueries {
          |  l.dup_line_frac
          |FROM word w JOIN ln l USING (doc_id)
          |LEFT JOIN bi b USING (doc_id)""".stripMargin,
+
+    "q62_longest_keeper" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + 400000, text || '  ' FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 10 = 0)
+         |SELECT doc_id, len FROM (
+         |  SELECT doc_id, len(text)::INT AS len,
+         |    row_number() OVER (PARTITION BY md5($NORM)
+         |                       ORDER BY len(text) DESC, doc_id) AS rn
+         |  FROM all_docs) WHERE rn = 1""".stripMargin,
 
     "q61_line_dedup" ->
       s"""WITH docs3 AS (
