@@ -401,6 +401,32 @@ object TrainingQueries {
           col("dup_line_frac"))
     }),
 
+    // PII-style scrubbing: redact email addresses and long digit runs
+    // (IDs/phones) to placeholder tokens, with per-doc match counts —
+    // the standard pre-training scrub, as a single codegen'd
+    // projection. Patterns stay inside the Java-regex ∩ RE2 common
+    // subset (char classes + bounded quantifiers — no lookaround, no
+    // '$'-anchor semantics), so both engines replace identically; both
+    // sides plant a deterministic email + id on every 20th doc so the
+    // scrub has true positives at any sf.
+    "q63_redact" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val digits = "[0-9]{9,}"
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 20 === 0,
+            concat(col("text"), lit(" contact: user"),
+              col("doc_id").cast("string"),
+              lit("@example.com ref 9876543210")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(digits)).cast("long")
+            .as("n_long_digits"),
+          regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            digits, "<NUM>").as("redacted"))
+    }),
+
     // exact dedup with the KEEP-MOST-COMPLETE keeper rule: within a
     // canonical-fingerprint group the survivor is the longest RAW text
     // (ties → min id) — the crawl-completeness heuristic (a re-crawl
@@ -764,6 +790,24 @@ object TrainingQueries {
          |  l.dup_line_frac
          |FROM word w JOIN ln l USING (doc_id)
          |LEFT JOIN bi b USING (doc_id)""".stripMargin,
+
+    "q63_redact" -> {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val digits = "[0-9]{9,}"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 20 = 0 THEN
+         |      text || ' contact: user' || doc_id::VARCHAR
+         |           || '@example.com ref 9876543210'
+         |    ELSE text END AS text
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '$digits'))::BIGINT AS n_long_digits,
+         |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |    '$digits', '<NUM>', 'g') AS redacted
+         |FROM d""".stripMargin
+    },
 
     "q62_longest_keeper" ->
       s"""WITH all_docs AS (
