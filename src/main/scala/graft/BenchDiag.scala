@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
 object BenchDiag {
   def main(args: Array[String]): Unit = {
     val lvl = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVEL", "16")
-    val input = sys.env.getOrElse("SPARK_GRAFT_BENCH_INPUT",
-      "/tmp/graft_bench_input_150000")
     val spark = Bench.session(lvl)
     spark.sparkContext.setLogLevel("ERROR")
+    // same materialized input as Bench/ScalingBench (generator-version
+    // keyed — a hardcoded /tmp path here was a stale-artifact hazard)
+    val input = sys.env.getOrElse("SPARK_GRAFT_BENCH_INPUT",
+      Bench.materializeInput(spark,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "30000").toInt, 16))
     def time(name: String)(f: => Long): Unit = {
       // 1 warmup + 2 reps
       f
