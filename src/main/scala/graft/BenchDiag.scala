@@ -13,7 +13,8 @@ object BenchDiag {
     // keyed — a hardcoded /tmp path here was a stale-artifact hazard)
     val input = sys.env.getOrElse("SPARK_GRAFT_BENCH_INPUT",
       Bench.materializeInput(spark,
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "30000").toInt, 16))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "30000").toInt,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PARASCALE", "16").toInt))
     def time(name: String)(f: => Long): Unit = {
       // 1 warmup + 2 reps
       f

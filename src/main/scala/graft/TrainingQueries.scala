@@ -436,21 +436,22 @@ object TrainingQueries {
     // actually picks a non-min-id keeper at any sf. Same staged-signal
     // window shape as q51: the exchange carries (doc_id, fp, len) only.
     "q62_longest_keeper" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir).select(col("doc_id"), col("text"))
         .filter(col("text").isNotNull)
       val padded = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 400000).as("doc_id"),
           concat(col("text"), lit("  ")).as("text"))
+      // keeper via groupBy(fp).min(struct(-len, doc_id, len)) rather
+      // than a row_number window: the aggregation combines MAP-SIDE, so
+      // a mega-duplicate fingerprint group never ships all its rows to
+      // one window task (the q61 lesson applied to the keeper rule)
       d.unionByName(padded)
-        .select(col("doc_id"),
-          md5(TextFunctions.normText(col("text"))).as("fp"),
-          length(col("text")).as("len"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("fp"))
-            .orderBy(col("len").desc, col("doc_id"))))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("len"))
+        .withColumn("len", length(col("text")))
+        .select(md5(TextFunctions.normText(col("text"))).as("fp"),
+          struct((-col("len")).as("nl"), col("doc_id"), col("len"))
+            .as("cand"))
+        .groupBy(col("fp")).agg(min(col("cand")).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.len").as("len"))
     }),
 
     // corpus-wide exact LINE dedup with reconstruction (the C4

@@ -24,7 +24,7 @@ object Verify {
       // once a query's result is on disk nothing references its state:
       // drop the dedup single-scan caches AND the cluster queries'
       // result-backing localCheckpoint blocks (RDD-level — invisible
-      // to cacheManager), so 61 queries in one JVM don't accumulate
+      // to cacheManager), so a full query sweep in one JVM doesn't accumulate
       // pinned block-manager storage
       graft.functions.Dedup.releaseCaches()
       spark.sharedState.cacheManager.clearCache()
