@@ -35,26 +35,51 @@ object Dedup {
     * caches below). The CacheManager keys entries by analyzed plan, so
     * REPEATED runs of one query reuse one entry — but distinct inputs
     * (daily increments, different snapshots) each add one, and callers
-    * hold no handle to release them. Job wrappers call
-    * [[releaseCaches]] when a run completes ([[graft.pipeline.DedupJob]]
-    * does); releasing is always safe because persist is an optimization
-    * — unlike a localCheckpoint, an unpersisted relation recomputes
-    * from lineage. */
+    * hold no handle to release them. Job wrappers scope their run with
+    * [[withCacheScope]] ([[graft.pipeline.DedupJob]] does), which
+    * drains only the relations THAT run persisted — a process-global
+    * drain would unpersist the mid-flight caches of a concurrently
+    * running dedup job on another driver thread (correct results, but
+    * the multi-consumer corpus re-scans the persist exists to prevent).
+    * Relations persisted outside any scope land in the global registry
+    * for [[releaseCaches]] (the bench's cold-state sweep). Releasing is
+    * always safe because persist is an optimization — unlike a
+    * localCheckpoint, an unpersisted relation recomputes from lineage. */
   private val persistedRelations =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** Driver-thread-scoped registry: operator construction (where
+    * persist happens) runs on the calling thread, so a DynamicVariable
+    * cleanly routes each job's persists to its own scope. */
+  private val scopeRelations =
+    new scala.util.DynamicVariable[
+      Option[java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]](None)
+
   private[graft] def trackPersisted(df: DataFrame): DataFrame = {
-    persistedRelations.add(df)
+    scopeRelations.value.getOrElse(persistedRelations).add(df)
     df
   }
 
-  /** Unpersist every relation a dedup operator persisted since the last
-    * release (never touches caller caches — only this module's). */
-  def releaseCaches(): Unit = {
-    var df = persistedRelations.poll()
+  /** Run `body` with a private cache registry and unpersist exactly the
+    * relations it persisted on exit — concurrent dedup runs on other
+    * threads keep their caches. */
+  def withCacheScope[T](body: => T): T = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    try scopeRelations.withValue(Some(q))(body)
+    finally drain(q)
+  }
+
+  /** Unpersist every UNSCOPED relation a dedup operator persisted since
+    * the last release (never touches caller caches or scoped runs —
+    * only this module's global registry). */
+  def releaseCaches(): Unit = drain(persistedRelations)
+
+  private def drain(
+      q: java.util.concurrent.ConcurrentLinkedQueue[DataFrame]): Unit = {
+    var df = q.poll()
     while (df != null) {
       df.unpersist(blocking = false)
-      df = persistedRelations.poll()
+      df = q.poll()
     }
   }
 
@@ -543,15 +568,34 @@ object Dedup {
     * ids; the fixpoint is a star per component rooted at its min id —
     * the same (id, cluster=min) output and keeper rule as
     * [[dupClusters]], verified against the same reachability oracle.
-    * Convergence detection is a count + order-independent xxhash64
-    * fingerprint of the edge set, computed in one aggregation per
-    * round.
+    *
+    * Cost shape (reworked after the round-4 audit, which found the
+    * upstream pair pipeline evaluated TWICE and three jobs per round):
+    *  - the input `pairs` pipeline — candidate generation + bucket
+    *    verification, the engine's most expensive stage — materializes
+    *    exactly ONCE, into a checkpoint that both the edge set and the
+    *    vertex set derive from;
+    *  - every edge set carries the invariant u > v and is distinct,
+    *    which makes the symmetrized form duplicate-free without a
+    *    `distinct()` (a full edge shuffle per use) and lets small-star
+    *    consume its input DIRECTLY: for an oriented edge set E,
+    *    sym(E).filter(v < u) == E — the smaller-neighborhood relation
+    *    IS the oriented edge list, no symmetrize/re-filter round trip;
+    *  - the convergence fingerprint (count + order-independent
+    *    xxhash64, decimal sum so ANSI can't overflow) rides the
+    *    round's OWN materializing action: the next edge set is a lazy
+    *    local checkpoint whose first action is the fingerprint
+    *    aggregation, so one job both persists the blocks and answers
+    *    "did the edge set change" — two jobs per round total
+    *    (large-star, small-star+fingerprint), not three.
     */
   def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
-    // both orientations from ONE pass over the edge set (the union-of-
-    // selects form would evaluate the upstream subtree twice — the same
-    // rationale as dupClusters' sym)
+    // the ONLY evaluation of the upstream pair pipeline
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
+    // duplicate-free both-orientations form of an ORIENTED (u > v,
+    // distinct) edge set; no distinct() needed — see Scaladoc
     def sym(e: DataFrame): DataFrame =
       e.select(explode(array(
           struct(col("u").as("s"), col("v").as("d")),
@@ -567,9 +611,10 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
-    def smallStar(e: DataFrame): DataFrame = {
-      val s = sym(e)
-      val smaller = s.filter(col("v") < col("u"))
+    // input is already oriented larger→smaller (large-star only emits
+    // (v, m) with v > u ≥ m), so the smaller-neighborhood relation is
+    // the input itself — no sym, no filter
+    def smallStar(smaller: DataFrame): DataFrame = {
       val mins = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
       val attach = smaller.join(mins, "u")
         .select(col("v").as("u"), col("m").as("v"))
@@ -577,40 +622,41 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
-    def fingerprint(e: DataFrame): (Long, String) = {
-      // decimal sum: order-independent AND overflow-proof under ANSI
-      // (a long sum of 2⁶³-scale hashes throws ARITHMETIC_OVERFLOW)
-      val r = e.agg(count(lit(1)),
+    // lazy checkpoint + fingerprint aggregation: ONE job persists the
+    // edge set's blocks (first action on a marked RDD stores it) and
+    // computes the convergence probe
+    def checkpointWithFp(e: DataFrame): (DataFrame, (Long, String)) = {
+      val ck = e.localCheckpoint(false)
+      val r = ck.agg(count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+      (ck, (r.getLong(0),
+        if (r.isNullAt(1)) "0" else r.getDecimal(1).toString))
     }
-    var e = pairs
-      .select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+    var (e, fp) = checkpointWithFp(p
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct())
     // every vertex of the INPUT pairs — including isolated self-pair
     // vertices whose only edge is (a, a), which the edge set above
     // drops but dupClusters still labels (a → a); computed before the
     // edge set degenerates to stars. Backs the RETURNED lazy DataFrame,
     // so its checkpoint blocks stay live — the same lifecycle as
     // dupClusters' final label table.
-    val nodes = pairs
-      .select(explode(array(col(aCol), col(bCol))).as("id"))
+    val nodes = p
+      .select(explode(array(col("a"), col("b"))).as("id"))
       .distinct()
       .localCheckpoint(true)
-    var fp = fingerprint(e)
+    // both derivations materialized — the upstream checkpoint is dead
+    freeLocalCheckpoint(p)
     var converged = false
     var iter = 0
     try {
       while (!converged && iter < maxIter) {
-        // each phase materializes before the next reads it: smallStar
-        // references its input through sym + two joins, so an
-        // unmaterialized large-star plan would re-execute its
-        // join+aggregate subtree several times per round
+        // large-star materializes eagerly: small-star reads it twice
+        // (aggregate + join), so a lazy plan would compute it twice
         val ls = largeStar(e).localCheckpoint(true)
-        val next = smallStar(ls).localCheckpoint(true)
-        val nfp = fingerprint(next)
+        val (next, nfp) = checkpointWithFp(smallStar(ls))
         // superseded sets — next is materialized, neither is read again
         freeLocalCheckpoint(ls)
         freeLocalCheckpoint(e)

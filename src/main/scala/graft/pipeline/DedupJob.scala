@@ -41,8 +41,10 @@ object DedupJob {
     val t0 = System.nanoTime()
     // release the operators' single-scan caches when the run completes
     // (success or failure) — a long-lived driver running dedup over
-    // changing inputs would otherwise accumulate one entry per input
-    val outputRows = try body(obs) finally Dedup.releaseCaches()
+    // changing inputs would otherwise accumulate one entry per input.
+    // SCOPED: this drains only the relations THIS run persisted, so a
+    // concurrent dedup job on another driver thread keeps its caches
+    val outputRows = Dedup.withCacheScope(body(obs))
     val sec = (System.nanoTime() - t0) / 1e9
     val row = obs.get
     // sum() over an all-dropped/empty run observes SQL NULL, which
@@ -73,7 +75,7 @@ object DedupJob {
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val acc = Dedup.BucketAccounting(spark)
     val t0 = System.nanoTime()
-    val pairs = try build(acc).count() finally Dedup.releaseCaches()
+    val pairs = Dedup.withCacheScope(build(acc).count())
     val sec = (System.nanoTime() - t0) / 1e9
     val res = DedupRunResult(runId, operator, pairs, -1L,
       acc.megaBucketsDropped.value, acc.docsInMegaBuckets.value, sec)

@@ -82,11 +82,18 @@ object StreamingExtraction {
       // two distinct null-text turns can never share it, while a true
       // re-delivery of the same turn still collapses — exactly the
       // batch late-data policy's keyed dedupe. The colon-separated
-      // "nulltext:..." form cannot collide with a 32-hex md5.
+      // "nulltext:..." form cannot collide with a 32-hex md5. Each
+      // surrogate component is null-coalesced to a NUL-prefixed
+      // marker BEFORE concatenation (concat_ws silently SKIPS nulls, so
+      // two null-conv_id turns at the same turn_idx would alias to one
+      // key and one row would be dropped — the conflation this key
+      // exists to prevent; a real conv_id cannot contain NUL, so
+      // the marker cannot alias a populated one).
       .withColumn("fp", coalesce(
         md5(graft.functions.TextFunctions.normText(col("text"))),
-        concat_ws(":", lit("nulltext"), col("conv_id"),
-          col("turn_idx").cast("string"))))
+        concat_ws(":", lit("nulltext"),
+          coalesce(col("conv_id"), lit("\u0000nullconv")),
+          coalesce(col("turn_idx").cast("string"), lit("\u0000nullidx")))))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
       // the fingerprint is dedup state, not output: keep the caller's

@@ -91,13 +91,19 @@ final class SnapshotTable(val root: String) {
       paths: Seq[String], files: Seq[String],
       summary: Map[String, String],
       expectedParent: Option[String]): String =
-    withCommitLock(dataPath) {
+    withCommitLock(dataPath) { stillHeld =>
       requireParentOrCleanup(expectedParent, dataPath)
       val json = snapshotJson(snapshotId, dataPath, paths, files, summary)
       Files.write(metaDir.resolve(s"snapshot-$snapshotId.json"),
         json.getBytes(StandardCharsets.UTF_8))
       val tmp = metaDir.resolve("current.tmp")
       Files.write(tmp, snapshotId.getBytes(StandardCharsets.UTF_8))
+      // LAST line of defense against a mid-commit lock break: if this
+      // writer stalled past the staleness horizon and an operator broke
+      // its lock (letting another writer in), publish must NOT proceed
+      // on the stale view — abort before the atomic pointer swap, the
+      // one step that makes a commit visible
+      stillHeld()
       Files.move(tmp, metaDir.resolve("current"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       snapshotId
@@ -109,15 +115,19 @@ final class SnapshotTable(val root: String) {
     * is reclaimed (same rationale as [[requireParentOrCleanup]]) and
     * the commit fails with the same exception type as a parent
     * conflict. */
-  private def withCommitLock[T](dataPath: String)(body: => T): T = {
+  private def withCommitLock[T](dataPath: String)(
+      body: (() => Unit) => T): T = {
     Files.createDirectories(metaDir)
     val lock = metaDir.resolve("commit.lock")
+    // pid + wall time (for the operator staring at a stale lock) + a
+    // per-acquisition nonce, so ownership is verifiable by CONTENT:
+    // both the holder's pre-publish check and breakStaleLock's
+    // rename-aside compare bytes, never just existence
+    val token = s"${ProcessHandle.current().pid()} " +
+      s"${System.currentTimeMillis()} ${java.util.UUID.randomUUID()}"
     val acquired =
       try {
-        // pid + wall time, for the operator staring at a stale lock
-        Files.write(lock,
-          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}"
-            .getBytes(StandardCharsets.UTF_8),
+        Files.write(lock, token.getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         true
       } catch {
@@ -131,22 +141,71 @@ final class SnapshotTable(val root: String) {
           "commit refused (data dir reclaimed); if the holder crashed, " +
           "recover with breakStaleLock()")
     }
-    try body finally Files.deleteIfExists(lock)
+    // the body calls this immediately before its publish step: a lock
+    // file that is gone or carries someone else's token means this
+    // writer stalled long enough to be declared dead and broken —
+    // publishing anyway could interleave with the usurper's commit
+    val stillHeld: () => Unit = () => {
+      val held = Files.exists(lock) &&
+        new String(Files.readAllBytes(lock), StandardCharsets.UTF_8) == token
+      if (!held) throw new java.util.ConcurrentModificationException(
+        s"table $root: commit.lock was broken mid-commit (writer " +
+          "exceeded the staleness horizon) — publish aborted")
+    }
+    try body(stillHeld)
+    finally {
+      // release ONLY a lock this writer still owns — after a break +
+      // re-acquire by another writer, deleting the path would free the
+      // usurper's lock under it
+      try {
+        if (Files.exists(lock) && new String(Files.readAllBytes(lock),
+            StandardCharsets.UTF_8) == token)
+          Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Remove a commit lock left by a CRASHED writer, but only when it is
     * older than `maxAgeMs` (default 10 min) — a younger lock is treated
     * as live and kept. Returns true when a lock was removed. Operator
-    * recovery, not called by any commit path. */
+    * recovery, not called by any commit path.
+    *
+    * Break protocol (closes the round-4 check-then-delete TOCTOU): the
+    * lock is atomically RENAMED aside to a breaker-unique quarantine
+    * name, then its content is compared to what the staleness decision
+    * was made from. Match → the stale lock was captured; delete it.
+    * Mismatch → between read and rename another operator broke the old
+    * lock and a NEW writer acquired a fresh one, which this rename just
+    * stole; restore it (POSIX rename replaces, so if yet another lock
+    * already took the path the restore displaces THAT one instead —
+    * but every displaced writer is protected by its own pre-publish
+    * `stillHeld` content check, so no torn commit can land under any
+    * interleaving). */
   def breakStaleLock(maxAgeMs: Long = 10 * 60 * 1000L): Boolean = {
     val lock = metaDir.resolve("commit.lock")
     if (!Files.exists(lock)) return false
-    val content = new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
+    val content =
+      try new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => return false } // gone already
     val stampedAt = content.split(" ").lift(1).flatMap(_.toLongOption)
       .getOrElse(Files.getLastModifiedTime(lock).toMillis)
-    if (System.currentTimeMillis() - stampedAt > maxAgeMs)
-      Files.deleteIfExists(lock)
-    else false
+    if (System.currentTimeMillis() - stampedAt <= maxAgeMs) return false
+    val aside = metaDir.resolve(
+      s"commit.lock.breaking.${ProcessHandle.current().pid()}." +
+        s"${System.nanoTime()}")
+    try Files.move(lock, aside, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.io.IOException => return false } // raced: not ours
+    val captured = new String(Files.readAllBytes(aside),
+      StandardCharsets.UTF_8)
+    if (captured == content) { Files.deleteIfExists(aside); true }
+    else {
+      // stole a FRESH lock — put it back (rename may displace a third
+      // lock that took the path meanwhile; any displaced writer is
+      // protected by its stillHeld pre-publish check)
+      try Files.move(aside, lock, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.io.IOException => Files.deleteIfExists(aside) }
+      false
+    }
   }
 
   /** [[requireParent]] plus orphan reclamation: a detected conflict
