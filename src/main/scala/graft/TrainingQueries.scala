@@ -21,6 +21,18 @@ object TrainingQueries {
   private val K = 16 // minhash signature size
   private val R = 4  // rows per LSH band
 
+  /** q64 span-dedup window width (tokens) and the planted cross-doc
+    * boilerplate spans — apostrophe-free so the same literals embed in
+    * the DuckDB oracle. Both are ≥ SpanK tokens, so every planted copy
+    * is guaranteed to contain at least one duplicated SpanK-gram. */
+  private val SpanK = 8
+  private val SpanBoiler1 =
+    "this content is provided as is without any warranty of any kind " +
+      "either express or implied"
+  private val SpanBoiler2 =
+    "click here to subscribe to our newsletter and never miss an " +
+      "update from our team"
+
   /** Query vector = embedding of vec_id 0 (driver point lookup, like
     * the reference's watermark read). */
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
@@ -505,6 +517,73 @@ object TrainingQueries {
             .as("n_dropped"))
     }),
 
+    // sub-line repeated-SPAN dedup (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better", at k-token window
+    // granularity): every k-token span whose fingerprint occurs more
+    // than once in the corpus keeps only its FIRST occurrence — min
+    // (doc_id, start) — and every token covered by a non-first
+    // duplicated window is removed; docs are rebuilt from surviving
+    // tokens. This is the finer-grained sibling of q61 (which only
+    // reaches line granularity). Scale shape: span fingerprints are
+    // 8-byte FNV longs (the q45 shuffle lever, ~24 B/span through the
+    // fp exchange, never the text); the global keep decision is a
+    // groupBy(fp).agg(count, min(struct)) — map-side partial agg
+    // absorbs mega-duplicated boilerplate spans; only DUPLICATED fps
+    // (count > 1) join back, bounding the mask join to the duplicated
+    // mass; the token payload rides only doc-keyed shuffles. The
+    // corpus text is tokenized once (persisted token table feeds both
+    // the span generator and the rebuild).
+    "q64_span_dedup" -> ((s, dir) => {
+      // the sf documents are span-dup-free, so both sides plant the
+      // same cross-doc boilerplate (every 5th doc prepends family 1,
+      // docs ≡3 mod 7 append family 2 — first WHEN wins on overlap,
+      // matching SQL CASE)
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(SpanBoiler1 + " "), col("text")))
+            .when(col("doc_id") % 7 === 3,
+              concat(col("text"), lit(" " + SpanBoiler2)))
+            .otherwise(col("text")).as("text"))
+      val toks = Dedup.trackPersisted(
+        d.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // (doc_id, start, fp) for every k-token window, duplicates kept
+      // in order — posexplode's index IS the 0-based token offset
+      val spans = toks
+        .select(col("doc_id"), posexplode(Expressions.arrayFnv1a64(
+          TextFunctions.ngramsFromTokens(col("t"), SpanK)))
+          .as(Seq("start", "fp")))
+      val dup = spans.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("doc_id"), col("start"))).as("f"))
+        .filter(col("n") > 1)
+        .select(col("fp"), col("f.doc_id").as("fdoc"),
+          col("f.start").as("fstart"))
+      val masked = spans.join(dup, Seq("fp"))
+        .filter(col("doc_id") =!= col("fdoc") ||
+          col("start") =!= col("fstart"))
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + lit(SpanK - 1)))
+            .as("pos"))
+        .distinct()
+      val tokPos = toks
+        .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      val kept = tokPos.join(masked, Seq("doc_id", "pos"), "left_anti")
+      val agg = kept.groupBy(col("doc_id"))
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok")), " ").as("clean_text"),
+          count(lit(1)).as("n_kept"))
+      toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_dropped"))
+    }),
+
     // C4-style quality signal suite (Raffel et al. 2020 §2.2 + Gopher
     // word-length band): terminal-punctuation line fraction, mean word
     // length, lorem-ipsum / code-brace flags, sentence count — the
@@ -821,6 +900,54 @@ object TrainingQueries {
          |    row_number() OVER (PARTITION BY md5($NORM)
          |                       ORDER BY len(text) DESC, doc_id) AS rn
          |  FROM all_docs) WHERE rn = 1""".stripMargin,
+
+    "q64_span_dedup" -> {
+      val gram = (0 until SpanK).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN '$SpanBoiler1 ' || text
+         |         WHEN doc_id % 7 = 3 THEN text || ' $SpanBoiler2'
+         |         ELSE text END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |tk AS (SELECT doc_id,
+         |         CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+         |              ELSE $TOK END AS t
+         |       FROM d),
+         |sp AS (
+         |  SELECT doc_id, u['start'] AS start, ${fnvSql("g")} AS fp FROM (
+         |    SELECT doc_id, u, u['g'] AS g FROM (
+         |      SELECT doc_id, unnest(list_transform(
+         |        range(1, len(t) - ${SpanK - 2}),
+         |        i -> {'start': i - 1, 'g': $gram})) AS u
+         |      FROM tk))),
+         |rk AS (SELECT doc_id, start,
+         |         count(*) OVER (PARTITION BY fp) AS n,
+         |         row_number() OVER (PARTITION BY fp
+         |                            ORDER BY doc_id, start) AS rn
+         |       FROM sp),
+         |mask AS (SELECT DISTINCT doc_id, pos FROM (
+         |           SELECT doc_id,
+         |             unnest(range(start, start + $SpanK)) AS pos
+         |           FROM rk WHERE n > 1 AND rn > 1)),
+         |tp AS (SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok FROM (
+         |         SELECT doc_id, unnest(list_transform(
+         |           range(1, len(t) + 1),
+         |           i -> {'pos': i - 1, 'tok': t[i]})) AS u
+         |         FROM tk)),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         |         LEFT JOIN mask m
+         |           ON m.doc_id = tp.doc_id AND m.pos = tp.pos
+         |         WHERE m.pos IS NULL),
+         |agg AS (SELECT doc_id,
+         |          string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |          count(*) AS n_kept
+         |        FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, len(t) AS n FROM tk)
+         |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  t.n::BIGINT AS n_tokens,
+         |  (t.n - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
+         |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
 
     "q61_line_dedup" ->
       s"""WITH docs3 AS (
