@@ -264,6 +264,15 @@ object TrainingQueries {
       Ann.ivfTopK(embs(s, dir), "embedding", "vec_id",
         queryVec(s, dir), 10, refineIters = 1)),
 
+    // TWO Lloyd steps: one step is a demo, two proves the
+    // bit-determinism scheme (quantized decimal sums, double divide)
+    // survives composition — step 2's cell boundaries depend on step
+    // 1's rounded centroids, so any cross-engine drift in step 1 would
+    // cascade into different assignments here
+    "q65_ivf_refined2" -> ((s, dir) =>
+      Ann.ivfTopK(embs(s, dir), "embedding", "vec_id",
+        queryVec(s, dir), 10, refineIters = 2)),
+
     // eval-set decontamination: flag every TRAIN doc sharing an 8-gram
     // with the EVAL corpus (the standard n-gram overlap rule). Both
     // sides derive eval = every 50th doc and inject known-contaminated
@@ -1122,7 +1131,8 @@ object TrainingQueries {
     "q46_ivf_sqrt" -> ivfSql(
       "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"),
 
-    "q52_ivf_refined" -> ivfRefinedSql,
+    "q52_ivf_refined" -> ivfRefinedSql(1),
+    "q65_ivf_refined2" -> ivfRefinedSql(2),
 
     "q56_decontaminate" -> {
       val gramJoin = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
@@ -1247,46 +1257,57 @@ object TrainingQueries {
     * DECIMAL(30,12) per-(cell,dim) sums, divide in DOUBLE, exactly the
     * engine's [[Ann.ivfRefine]] arithmetic — empty cells keep their
     * seed, then 4-probe exact rescan against the refined quantizer. */
-  private def ivfRefinedSql: String =
+  /** IVF top-k oracle with `iters` Lloyd refinement steps, each
+    * reproducing the engine's bit-deterministic scheme (DECIMAL(30,12)
+    * per-(cell,dim) sums, final divide in double): every step's
+    * assignment → decimal-mean → coalesce-empty-cell chain feeds the
+    * next, so `iters = 2` proves the determinism survives COMPOSITION
+    * (step 2's cell boundaries depend on step 1's rounded centroids). */
+  private def ivfRefinedSql(iters: Int): String = {
+    val steps = (0 until iters).map { k =>
+      s"""d$k AS (
+         |  SELECT v.vec_id, c.cidx, ${l2sqSql("v.e", "c.c")} AS dist
+         |  FROM v, cents$k c),
+         |cell$k AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+         |    FROM d$k) WHERE rn = 1),
+         |sums$k AS (
+         |  SELECT cell, p.pos,
+         |    sum((e[p.pos+1])::DECIMAL(30,12)) AS s, count(*) AS n
+         |  FROM v JOIN cell$k USING (vec_id), dims p
+         |  GROUP BY cell, p.pos),
+         |refined$k AS (
+         |  SELECT cell AS cidx, list(s::DOUBLE / n ORDER BY pos) AS c
+         |  FROM sums$k GROUP BY cell),
+         |cents${k + 1} AS (
+         |  SELECT c0.cidx, coalesce(r.c, c0.c) AS c
+         |  FROM cents$k c0 LEFT JOIN refined$k r ON r.cidx = c0.cidx)"""
+        .stripMargin
+    }.mkString(",\n")
+    val cents = s"cents$iters"
     s"""WITH cents0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
        |         embedding::DOUBLE[] AS c
        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |d0 AS (
-       |  SELECT v.vec_id, c.cidx, ${l2sqSql("v.e", "c.c")} AS dist
-       |  FROM v, cents0 c),
-       |cell0 AS (
-       |  SELECT vec_id, cidx AS cell FROM (
-       |    SELECT vec_id, cidx,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
-       |    FROM d0) WHERE rn = 1),
        |dims AS (
        |  SELECT unnest(range((SELECT len(embedding::DOUBLE[])
        |                       FROM embeddings WHERE vec_id = 0))) AS pos),
-       |sums AS (
-       |  SELECT cell, p.pos,
-       |    sum((e[p.pos+1])::DECIMAL(30,12)) AS s, count(*) AS n
-       |  FROM v JOIN cell0 USING (vec_id), dims p
-       |  GROUP BY cell, p.pos),
-       |refined AS (
-       |  SELECT cell AS cidx, list(s::DOUBLE / n ORDER BY pos) AS c
-       |  FROM sums GROUP BY cell),
-       |cents AS (
-       |  SELECT c0.cidx, coalesce(r.c, c0.c) AS c
-       |  FROM cents0 c0 LEFT JOIN refined r ON r.cidx = c0.cidx),
+       |$steps,
        |q0 AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
        |probes AS (
-       |  SELECT cidx FROM cents, q0
+       |  SELECT cidx FROM $cents, q0
        |  ORDER BY ${l2sqSql("c", "e")}, cidx LIMIT 4),
-       |d1 AS (
+       |dfin AS (
        |  SELECT v.vec_id, c.cidx, ${l2sqSql("v.e", "c.c")} AS dist
-       |  FROM v, cents c),
+       |  FROM v, $cents c),
        |cells AS (
        |  SELECT vec_id, cidx AS cell FROM (
        |    SELECT vec_id, cidx,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
-       |    FROM d1) WHERE rn = 1),
+       |    FROM dfin) WHERE rn = 1),
        |cand AS (
        |  SELECT v.vec_id, v.e
        |  FROM v JOIN cells USING (vec_id)
@@ -1295,6 +1316,7 @@ object TrainingQueries {
        |nn AS (SELECT vec_id, $NormE AS v FROM cand)
        |SELECT vec_id, floor(list_dot_product(v, q) * 10000 + 0.5) / 10000 AS cos
        |FROM nn, qn ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
 
   /** Banded simhash near-dup oracle (q30/q47): 4×16-bit band candidate
     * buckets (occupancy-capped like the Spark side), exact Hamming
