@@ -410,18 +410,26 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     // Flagship extraction vs the frozen generator-golden fixture
-    // (FixtureGen.goldenExtract — goldens composed BY the generator,
-    // never via the extractor): the DuckDB compare proves
-    // extractor == golden on every driver round.
+    // (FixtureGen.goldenExtractMulti — goldens composed BY the
+    // generator, never via the extractor): the DuckDB compare proves
+    // extractor == golden on every driver round. The fixture carries
+    // BOTH scales (n_convs 200 for sf0.001/sf0.01, 1000 for sf0.1);
+    // the events row count identifies the sf dir inside pure SQL, so
+    // the north-star path is golden-checked at 10× the driver gate
+    // like every data-derived query.
     "q15_extract_pipeline" ->
       s"""SELECT conv_id, turn_idx, payload_kind, extracted_text, n_spans
-        |FROM read_parquet('${graft.RepoRoot.fixtures}/golden_extract_sf001.parquet')""".stripMargin,
+        |FROM read_parquet('${graft.RepoRoot.fixtures}/golden_extract_multi.parquet')
+        |WHERE n_convs = (SELECT CASE WHEN count(*) >= 100000 THEN 1000
+        |                 ELSE 200 END FROM events)""".stripMargin,
 
     "q16_extract_kind_stats" ->
       s"""SELECT payload_kind, count(*) AS n,
         |  CAST(sum(length(extracted_text)) AS BIGINT) AS chars,
         |  CAST(sum(n_spans) AS BIGINT) AS spans
-        |FROM read_parquet('${graft.RepoRoot.fixtures}/golden_extract_sf001.parquet')
+        |FROM read_parquet('${graft.RepoRoot.fixtures}/golden_extract_multi.parquet')
+        |WHERE n_convs = (SELECT CASE WHEN count(*) >= 100000 THEN 1000
+        |                 ELSE 200 END FROM events)
         |GROUP BY payload_kind""".stripMargin
   )
 }

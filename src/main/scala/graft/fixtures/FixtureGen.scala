@@ -38,7 +38,8 @@ object FixtureGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(FixtureDir))
-    writeSingle(goldenExtract(spark), s"$FixtureDir/golden_extract_sf001.parquet")
+    writeSingle(goldenExtractMulti(spark),
+      s"$FixtureDir/golden_extract_multi.parquet")
     writeSingle(neardupDocs(spark), NearDupDocsPath)
     writeSingle(neardupFastDocs(spark), NearDupFastDocsPath)
     writeSingle(simhashTemplateDocs(spark), SimhashTemplatesPath)
@@ -51,6 +52,12 @@ object FixtureGen {
 
   /** The sf0.01 extraction-fixture config (SparkEntry.nConvsFor). */
   val Sf001Config: TranscriptGen.GenConfig = TranscriptGen.GenConfig(nConvs = 200)
+
+  /** The sf0.1 extraction-fixture config — goldens are frozen at BOTH
+    * scales so the north-star extraction path is oracle-checked at 10×
+    * the driver gate, same as every data-derived query (round-4
+    * verdict, Missing #3). */
+  val Sf01Config: TranscriptGen.GenConfig = TranscriptGen.GenConfig(nConvs = 1000)
 
   /** Replicates Selection.ingest on generated Turn values: watermark,
     * role/tool predicates, and the (case_type, role) allow-list. Kept in
@@ -69,9 +76,9 @@ object FixtureGen {
   def expectedSpans(goldenText: String): Int =
     if (goldenText.isEmpty) 0 else goldenText.count(_ == '\n') + 1
 
-  def goldenExtract(spark: SparkSession): DataFrame = {
+  def goldenExtract(spark: SparkSession,
+      cfg: TranscriptGen.GenConfig = Sf001Config): DataFrame = {
     import spark.implicits._
-    val cfg = Sf001Config
     spark.range(0, cfg.nConvs.toLong)
       .flatMap { i =>
         TranscriptGen.turnsForConv(cfg, i).collect {
@@ -81,6 +88,17 @@ object FixtureGen {
         }
       }
       .toDF("conv_id", "turn_idx", "payload_kind", "extracted_text", "n_spans")
+  }
+
+  /** Both scales in one fixture, tagged by `n_convs` — the q15/q16
+    * oracles select the slice whose tag matches the sf under test (the
+    * events row count distinguishes the dirs inside pure SQL). */
+  def goldenExtractMulti(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    goldenExtract(spark, Sf001Config)
+      .withColumn("n_convs", lit(Sf001Config.nConvs))
+      .unionByName(goldenExtract(spark, Sf01Config)
+        .withColumn("n_convs", lit(Sf01Config.nConvs)))
   }
 
   // --- planted SimHash near-dups ------------------------------------------
