@@ -7,13 +7,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the non-SQL-expressible queries a hard DuckDB oracle
   * (`read_parquet('<abs path>')` in SparkEntry.oracleSql):
   *
-  *  - `golden_extract_sf001.parquet` — the flagship-extraction golden:
-  *    eligible rows + expected (payload_kind, extracted_text, n_spans)
-  *    for the sf0.01 config, computed FROM THE GENERATOR's structural
-  *    knowledge (TranscriptGen composes payloads from the golden
-  *    content), never by running the extractor — so the driver compare
-  *    proves extractor == golden every round, the engine analog of the
-  *    reference's golden-set pinning (IngestQueryTest.java:110-123).
+  *  - `golden_extract_multi.parquet` — the flagship-extraction golden
+  *    at BOTH scales (an `n_convs` column tags the 200-conv slice for
+  *    sf0.001/sf0.01 and the 1000-conv slice for sf0.1; the q15/q16
+  *    oracles select by it): eligible rows + expected (payload_kind,
+  *    extracted_text, n_spans), computed FROM THE GENERATOR's
+  *    structural knowledge (TranscriptGen composes payloads from the
+  *    golden content), never by running the extractor — so the driver
+  *    compare proves extractor == golden every round, the engine analog
+  *    of the reference's golden-set pinning
+  *    (IngestQueryTest.java:110-123).
   *  - `media_{meta,features,frames,resize}_500.parquet` — expected
   *    outputs of the multimodal operators over the 500-asset synth
   *    table, derived from FakeCodec.synth's PARAMETERS (kind, dims,

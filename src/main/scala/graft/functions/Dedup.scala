@@ -49,24 +49,37 @@ object Dedup {
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Driver-thread-scoped registry: operator construction (where
-    * persist happens) runs on the calling thread, so a DynamicVariable
-    * cleanly routes each job's persists to its own scope. */
+    * persist happens) runs on the calling thread, so a plain (NOT
+    * inheritable) ThreadLocal routes each job's persists to its own
+    * scope. DynamicVariable is deliberately avoided — it is backed by
+    * InheritableThreadLocal, so any thread spawned while a scope is
+    * active would permanently inherit that scope's queue and, after the
+    * scope drains, route its persists to a dead queue nothing releases. */
   private val scopeRelations =
-    new scala.util.DynamicVariable[
-      Option[java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]](None)
+    new ThreadLocal[Option[
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]] {
+      override def initialValue():
+          Option[java.util.concurrent.ConcurrentLinkedQueue[DataFrame]] = None
+    }
 
   private[graft] def trackPersisted(df: DataFrame): DataFrame = {
-    scopeRelations.value.getOrElse(persistedRelations).add(df)
+    scopeRelations.get().getOrElse(persistedRelations).add(df)
     df
   }
 
   /** Run `body` with a private cache registry and unpersist exactly the
     * relations it persisted on exit — concurrent dedup runs on other
-    * threads keep their caches. */
+    * threads keep their caches. Nests: an inner scope restores the
+    * outer one on exit. */
   def withCacheScope[T](body: => T): T = {
+    val prev = scopeRelations.get()
     val q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-    try scopeRelations.withValue(Some(q))(body)
-    finally drain(q)
+    scopeRelations.set(Some(q))
+    try body
+    finally {
+      scopeRelations.set(prev)
+      drain(q)
+    }
   }
 
   /** Unpersist every UNSCOPED relation a dedup operator persisted since

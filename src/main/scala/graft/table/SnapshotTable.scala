@@ -94,16 +94,36 @@ final class SnapshotTable(val root: String) {
     withCommitLock(dataPath) { stillHeld =>
       requireParentOrCleanup(expectedParent, dataPath)
       val json = snapshotJson(snapshotId, dataPath, paths, files, summary)
-      Files.write(metaDir.resolve(s"snapshot-$snapshotId.json"),
-        json.getBytes(StandardCharsets.UTF_8))
+      val manifest = metaDir.resolve(s"snapshot-$snapshotId.json")
+      Files.write(manifest, json.getBytes(StandardCharsets.UTF_8))
       val tmp = metaDir.resolve("current.tmp")
       Files.write(tmp, snapshotId.getBytes(StandardCharsets.UTF_8))
       // LAST line of defense against a mid-commit lock break: if this
       // writer stalled past the staleness horizon and an operator broke
       // its lock (letting another writer in), publish must NOT proceed
       // on the stale view — abort before the atomic pointer swap, the
-      // one step that makes a commit visible
-      stillHeld()
+      // one step that makes a commit visible. Two checks: the lock
+      // still carries OUR token, and the parent pointer is still what
+      // this manifest was built against (a usurper's commit moves it,
+      // and publishing a cumulative manifest built before that commit
+      // would drop the usurper's data from every future read).
+      // On abort, the already-written manifest and data dir must be
+      // RECLAIMED: history()/readIncremental() enumerate
+      // snapshot-*.json, so a leftover never-published manifest would
+      // later be served as committed data.
+      try {
+        stillHeld()
+        requireParent(expectedParent)
+      } catch {
+        case t: Throwable =>
+          try {
+            Files.deleteIfExists(manifest)
+            Files.deleteIfExists(tmp)
+            val dir = Paths.get(dataPath)
+            if (Files.exists(dir)) deleteRecursively(dir)
+          } catch { case _: java.io.IOException => () }
+          throw t
+      }
       Files.move(tmp, metaDir.resolve("current"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       snapshotId
@@ -146,8 +166,13 @@ final class SnapshotTable(val root: String) {
     // writer stalled long enough to be declared dead and broken —
     // publishing anyway could interleave with the usurper's commit
     val stillHeld: () => Unit = () => {
-      val held = Files.exists(lock) &&
-        new String(Files.readAllBytes(lock), StandardCharsets.UTF_8) == token
+      // read, don't exists-then-read: a lock deleted between the two
+      // calls must surface as the documented conflict exception, not a
+      // NoSuchFileException leaking out of commit()
+      val held =
+        try new String(Files.readAllBytes(lock),
+          StandardCharsets.UTF_8) == token
+        catch { case _: java.io.IOException => false }
       if (!held) throw new java.util.ConcurrentModificationException(
         s"table $root: commit.lock was broken mid-commit (writer " +
           "exceeded the staleness horizon) — publish aborted")
@@ -178,9 +203,18 @@ final class SnapshotTable(val root: String) {
     * lock and a NEW writer acquired a fresh one, which this rename just
     * stole; restore it (POSIX rename replaces, so if yet another lock
     * already took the path the restore displaces THAT one instead —
-    * but every displaced writer is protected by its own pre-publish
-    * `stillHeld` content check, so no torn commit can land under any
-    * interleaving). */
+    * every displaced writer is protected by its own pre-publish
+    * `stillHeld` + parent re-check, which abort before the pointer
+    * swap and reclaim the unpublished manifest/data).
+    *
+    * Honest limit: advisory file locking cannot FENCE a stalled
+    * writer — a process suspended between its pre-publish checks and
+    * the atomic move can still publish a stale manifest when it
+    * resumes. The checks shrink that window to a few instructions and
+    * the parent re-check additionally requires the usurper to have NOT
+    * yet committed, but breaking a lock remains an operator decision
+    * (verify the holder process is dead first), deliberately not
+    * automated. */
   def breakStaleLock(maxAgeMs: Long = 10 * 60 * 1000L): Boolean = {
     val lock = metaDir.resolve("commit.lock")
     if (!Files.exists(lock)) return false
@@ -195,8 +229,16 @@ final class SnapshotTable(val root: String) {
         s"${System.nanoTime()}")
     try Files.move(lock, aside, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.io.IOException => return false } // raced: not ours
-    val captured = new String(Files.readAllBytes(aside),
-      StandardCharsets.UTF_8)
+    val captured =
+      try new String(Files.readAllBytes(aside), StandardCharsets.UTF_8)
+      catch {
+        case _: java.io.IOException =>
+          // cannot verify what we captured — restore rather than guess
+          // (deleting unverified content could delete a fresh lock)
+          try Files.move(aside, lock, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.io.IOException => () }
+          return false
+      }
     if (captured == content) { Files.deleteIfExists(aside); true }
     else {
       // stole a FRESH lock — put it back (rename may displace a third

@@ -14,20 +14,29 @@ REPS=${2:-6}
 AMORT_CONVS=${AMORT_CONVS:-90000}
 OUT=/tmp/scaling_results.jsonl
 : > $OUT
-run_levels() { # $1=convs $2=reps $3=outfile
+run_levels() { # $1=convs $2=reps $3=outfile $4=required(1|0)
   : > "$3"
   for LVL in 4 8 16 32; do
     echo "[scaling] convs=$1 level $LVL..." >&2
+    before=$(wc -l < "$3")
     GRAFT_XMX=8g SPARK_GRAFT_BENCH_LEVEL=$LVL SPARK_GRAFT_BENCH_CONVS=$1 \
       SPARK_GRAFT_BENCH_PARASCALE=${PARASCALE:-16} \
       SPARK_GRAFT_BENCH_REPS=$2 MAIN=graft.ScalingBench \
       tools/run_verify.sh x y 2>/dev/null | grep -E '^\{' >> "$3" || true
+    if [ "$(wc -l < "$3")" = "$before" ]; then
+      # a missing level must be LOUD (a silent gap crashes the report
+      # with a bare KeyError after the expensive microbenches ran);
+      # required levels abort here, next to the failure
+      echo "[scaling] ERROR: level $LVL (convs=$1) produced no result" \
+        "(bench threw or every rep was rejected for external load)" >&2
+      if [ "$4" = "1" ]; then exit 1; fi
+    fi
   done
 }
-run_levels "$CONVS" "$REPS" "$OUT"
+run_levels "$CONVS" "$REPS" "$OUT" 1
 if [ "$AMORT_CONVS" != "0" ]; then
   AOUT=/tmp/scaling_results_amort.jsonl
-  run_levels "$AMORT_CONVS" 4 "$AOUT"
+  run_levels "$AMORT_CONVS" 4 "$AOUT" 0
   python3 tools/scaling_report.py $OUT $CONVS $REPS $AOUT $AMORT_CONVS
 else
   python3 tools/scaling_report.py $OUT $CONVS $REPS
