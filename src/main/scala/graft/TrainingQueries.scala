@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Ann, Dedup, Expressions, TextFunctions}
 
@@ -243,6 +244,59 @@ object TrainingQueries {
     "q38_ivf_ann" -> ((s, dir) =>
       Ann.ivfTopK(embs(s, dir), "embedding", "vec_id",
         queryVec(s, dir), 10)),
+
+    // ANN EVALUATION: recall@10 of the sign-LSH index (bucket +
+    // Hamming-1 probes) against the exact scan, for a 20-query eval
+    // set, in ONE distributed pass — the measurement every approximate
+    // index needs before it replaces the exact path. Scale shape: the
+    // corpus is normalized + bucketed once (persisted, single scan);
+    // the eval queries broadcast (eval sets are small, corpora are
+    // not); the exact baseline is a broadcast nested-loop against the
+    // 20-row query table (inherently N×Q — that IS the exact scan);
+    // the approx side touches only probe-bucket candidates. Ranking
+    // uses the 4-decimal-rounded cosine then vec_id, the same
+    // deterministic tie order as every ANN oracle here.
+    "q66_ann_recall" -> ((s, dir) => {
+      val k = 10
+      val nPlanes = 8
+      val planes = Ann.hyperplanes(nPlanes, 64)
+      val base = Dedup.trackPersisted(
+        Ann.withLshBucket(
+          Ann.withNormalized(
+            embs(s, dir).select(col("vec_id"), col("embedding")),
+            "embedding", "vn"),
+          "embedding", planes, "bkt")
+          .select(col("vec_id"), col("vn"), col("bkt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val qrows = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("vn").as("qv"),
+          col("bkt").as("qbkt"))
+      val probes = broadcast(qrows
+        .select(col("qid"), col("qv"), explode(array(
+          col("qbkt") +: (0 until nPlanes).map(i =>
+            col("qbkt").bitwiseXOR(lit(1L << i))): _*)).as("bkt")))
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val approxTop = base.join(probes, Seq("bkt"))
+        .select(col("qid"), col("vec_id"),
+          Ann.round4(Expressions.arrayDot(col("vn"), col("qv"))).as("cos"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= k)
+      val exactTop = base
+        .crossJoin(broadcast(qrows.select(col("qid"), col("qv"))))
+        .select(col("qid"), col("vec_id"),
+          Ann.round4(Expressions.arrayDot(col("vn"), col("qv"))).as("cos"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= k)
+      val hits = exactTop.select(col("qid"), col("vec_id"))
+        .join(approxTop.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      qrows.select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), Ann.round4(
+          coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
+    }),
 
     // the scale-parameterized IVF operating point: nCentroids = ⌈√N⌉
     // (the standard balance between cell-scan cost and probe fan-out) —
@@ -1125,6 +1179,44 @@ object TrainingQueries {
          |nn AS (SELECT vec_id, $NormE AS v FROM cand)
          |SELECT vec_id, floor(list_dot_product(v, q) * 10000 + 0.5) / 10000 AS cos
          |FROM nn, qn ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q66_ann_recall" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    ${lshBucketSql("embedding::DOUBLE[]")} AS bkt
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, $NormE AS v, bkt FROM b),
+         |q AS (SELECT vec_id AS qid, v AS qv, bkt AS qbkt
+         |      FROM n WHERE vec_id < 20),
+         |probes AS (
+         |  SELECT qid, qv, qbkt AS bkt FROM q
+         |  UNION ALL
+         |  SELECT qid, qv, xor(qbkt::BIGINT, (1::BIGINT << i))::BIGINT
+         |  FROM q, range(8) r(i)),
+         |ax AS (
+         |  SELECT p.qid, n.vec_id,
+         |    floor(list_dot_product(n.v, p.qv) * 10000 + 0.5) / 10000 AS cos
+         |  FROM n JOIN probes p ON n.bkt = p.bkt),
+         |atop AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |  FROM ax) WHERE rn <= 10),
+         |ex AS (
+         |  SELECT q.qid, n.vec_id,
+         |    floor(list_dot_product(n.v, q.qv) * 10000 + 0.5) / 10000 AS cos
+         |  FROM n, q),
+         |etop AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |  FROM ex) WHERE rn <= 10),
+         |hits AS (
+         |  SELECT e.qid, count(*) AS c
+         |  FROM etop e JOIN atop a ON a.qid = e.qid AND a.vec_id = e.vec_id
+         |  GROUP BY e.qid)
+         |SELECT qs.qid,
+         |  floor(coalesce(c, 0)::DOUBLE / 10 * 10000 + 0.5) / 10000 AS recall
+         |FROM (SELECT DISTINCT qid FROM q) qs
+         |LEFT JOIN hits USING (qid)""".stripMargin,
 
     "q38_ivf_ann" -> ivfSql("16"),
 
