@@ -354,6 +354,55 @@ object TrainingQueries {
         .select(col("doc_id")).distinct()
     }),
 
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): features are
+    // unigrams+bigrams hashed into a FIXED 10k-bucket space; a doc's
+    // weight is Σ n_b · ln(p_target(b)/p_raw(b)) with Laplace
+    // smoothing, target = every 50th doc (the q56 split convention).
+    // Scale shape: the feature space is fixed-size, so the per-bucket
+    // log-ratio table is 10k rows and BROADCASTS regardless of corpus
+    // size; doc features pre-aggregate to (doc, bucket, n) with
+    // map-side combine before any join; the corpus is featurized once
+    // (persisted docFeat feeds both the bucket counts and the scoring
+    // join). Determinism: per-bucket λ is floor-quantized to 4
+    // decimals and the per-doc sum is an exact DECIMAL(18,4) — the
+    // q55 scheme, with the same disclosed ~1-ulp ln() caveat.
+    "q67_dsir_weights" -> ((s, dir) => {
+      val B = 10000L
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFunctions.tokens(lower(col("text"))).as("t"))
+        .filter(col("t").isNotNull)
+      val feats = d.select(col("doc_id"), explode(concat(col("t"),
+          TextFunctions.ngramsFromTokens(col("t"), 2))).as("f"))
+        .select(col("doc_id"),
+          pmod(Expressions.fnv1a64(col("f")), lit(B)).as("b"))
+      val docFeat = Dedup.trackPersisted(feats
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val bucketCounts = docFeat
+        .groupBy(col("b")).agg(
+          sum(when(col("doc_id") % 50 === 0, col("n")).otherwise(0L))
+            .as("ct"),
+          sum(when(col("doc_id") % 50 =!= 0, col("n")).otherwise(0L))
+            .as("cr"))
+      val totals = bucketCounts.agg(sum(col("ct")).as("tt"),
+        sum(col("cr")).as("tr"))
+      val lam = broadcast(bucketCounts.crossJoin(broadcast(totals))
+        .select(col("b"), Ann.round4(
+          log((col("ct") + 1).cast("double") /
+            (col("tt") + B).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("tr") + B).cast("double")))
+          .cast("decimal(18,4)").as("lam")))
+      docFeat.join(lam, Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_feat"),
+          sum(col("lam") * col("n")).cast("double").as("w"))
+        .select(col("doc_id"), col("n_feat"),
+          Ann.round4(col("w")).as("weight"))
+    }),
+
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
     // scores each doc by its mean token surprisal −ln(cnt/total). The
@@ -1244,6 +1293,35 @@ object TrainingQueries {
          |    FROM tr))
          |SELECT DISTINCT doc_id FROM trg
          |WHERE h IN (SELECT h FROM evg)""".stripMargin
+    },
+
+    "q67_dsir_weights" -> {
+      val bucket = s"((${toSigned(fnvSql("f"))} % 10000) + 10000) % 10000"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+         |         ELSE $TOKL END AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |uni AS (SELECT doc_id, unnest(t) AS f FROM d),
+         |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |         i -> t[i] || ' ' || t[i+1])) AS f FROM d),
+         |feats AS (SELECT doc_id, $bucket AS b FROM
+         |  (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |df AS (SELECT doc_id, b, count(*) AS n FROM feats
+         |       GROUP BY doc_id, b),
+         |bc AS (SELECT b,
+         |         sum(CASE WHEN doc_id % 50 = 0 THEN n ELSE 0 END) AS ct,
+         |         sum(CASE WHEN doc_id % 50 <> 0 THEN n ELSE 0 END) AS cr
+         |       FROM df GROUP BY b),
+         |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bc),
+         |lam AS (SELECT b,
+         |  (floor((ln((ct+1)::DOUBLE / (tt+10000)::DOUBLE)
+         |        - ln((cr+1)::DOUBLE / (tr+10000)::DOUBLE))
+         |    * 10000 + 0.5) / 10000)::DECIMAL(18,4) AS lam
+         |  FROM bc, tot)
+         |SELECT doc_id, sum(n)::BIGINT AS n_feat,
+         |  floor(sum(lam * n)::DOUBLE * 10000 + 0.5) / 10000 AS weight
+         |FROM df JOIN lam USING (b) GROUP BY doc_id""".stripMargin
     },
 
     "q55_unigram_surprisal" ->
