@@ -99,7 +99,8 @@ class PlanInvariantsSpec extends SparkSpec {
   test("multi-consumer dedup queries scan the corpus text exactly once") {
     for (q <- Seq("q27_lsh_buckets", "q30_simhash_templates",
         "q41_lsh_neardups", "q47_simhash_neardups",
-        "q55_unigram_surprisal", "q64_span_dedup")) {
+        "q55_unigram_surprisal", "q64_span_dedup",
+        "q66_ann_recall", "q67_dsir_weights")) {
       val df = fresh(q)
       df.collect()
       val scans = PlanAudit.distinctFileScans(df.queryExecution.executedPlan)
