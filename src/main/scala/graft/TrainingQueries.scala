@@ -1359,19 +1359,27 @@ object TrainingQueries {
     "q34_media_meta" ->
       s"""SELECT asset_id, kind, width, height, sample_rate, n_frames,
         |       payload_bytes, valid
-        |FROM read_parquet('${graft.RepoRoot.fixtures}/media_meta_500.parquet')""".stripMargin,
+        |FROM read_parquet('${graft.RepoRoot.fixtures}/media_meta_multi.parquet')
+        |WHERE n_assets = (SELECT CASE WHEN count(*) >= 100000 THEN 2000
+        |                   ELSE 500 END FROM events)""".stripMargin,
 
     "q35_media_features" ->
       s"""SELECT asset_id, kind, feat_norm2
-        |FROM read_parquet('${graft.RepoRoot.fixtures}/media_features_500.parquet')""".stripMargin,
+        |FROM read_parquet('${graft.RepoRoot.fixtures}/media_features_multi.parquet')
+        |WHERE n_assets = (SELECT CASE WHEN count(*) >= 100000 THEN 2000
+        |                   ELSE 500 END FROM events)""".stripMargin,
 
     "q36_frame_sample" ->
       s"""SELECT asset_id, frame_idx, frame_bytes
-        |FROM read_parquet('${graft.RepoRoot.fixtures}/media_frames_500.parquet')""".stripMargin,
+        |FROM read_parquet('${graft.RepoRoot.fixtures}/media_frames_multi.parquet')
+        |WHERE n_assets = (SELECT CASE WHEN count(*) >= 100000 THEN 2000
+        |                   ELSE 500 END FROM events)""".stripMargin,
 
     "q40_image_resize" ->
       s"""SELECT asset_id, width, height, payload_bytes
-        |FROM read_parquet('${graft.RepoRoot.fixtures}/media_resize_500.parquet')""".stripMargin,
+        |FROM read_parquet('${graft.RepoRoot.fixtures}/media_resize_multi.parquet')
+        |WHERE n_assets = (SELECT CASE WHEN count(*) >= 100000 THEN 2000
+        |                   ELSE 500 END FROM events)""".stripMargin,
 
     "q41_lsh_neardups" -> lshNearDupsSql(8),
 

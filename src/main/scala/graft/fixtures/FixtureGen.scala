@@ -17,11 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    compare proves extractor == golden every round, the engine analog
   *    of the reference's golden-set pinning
   *    (IngestQueryTest.java:110-123).
-  *  - `media_{meta,features,frames,resize}_500.parquet` — expected
-  *    outputs of the multimodal operators over the 500-asset synth
-  *    table, derived from FakeCodec.synth's PARAMETERS (kind, dims,
-  *    payload RNG), independent of the header-decode/slice code paths
-  *    under test.
+  *  - `media_{meta,features,frames,resize}_multi.parquet` — expected
+  *    outputs of the multimodal operators at BOTH asset scales (an
+  *    `n_assets` column tags the 500-asset slice for sf0.001/sf0.01
+  *    and the 2000-asset slice for sf0.1), derived from
+  *    FakeCodec.synth's PARAMETERS (kind, dims, payload RNG),
+  *    independent of the header-decode/slice code paths under test.
   *
   * Regenerate with: MAIN=graft.fixtures.FixtureGen tools/run_verify.sh
   * (args ignored). Fixture changes must be deliberate — they redefine
@@ -46,10 +47,20 @@ object FixtureGen {
     writeSingle(neardupDocs(spark), NearDupDocsPath)
     writeSingle(neardupFastDocs(spark), NearDupFastDocsPath)
     writeSingle(simhashTemplateDocs(spark), SimhashTemplatesPath)
-    writeSingle(mediaMeta(spark), s"$FixtureDir/media_meta_500.parquet")
-    writeSingle(mediaFeatures(spark), s"$FixtureDir/media_features_500.parquet")
-    writeSingle(mediaFrames(spark), s"$FixtureDir/media_frames_500.parquet")
-    writeSingle(mediaResize(spark), s"$FixtureDir/media_resize_500.parquet")
+    def multi(f: (SparkSession, Long) => DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.lit
+      // synthParams is deterministic per id, so the 2000-asset table
+      // supersets the 500-asset one; the tag column lets the q34-q36 /
+      // q40 oracles select the slice matching the sf under test (the
+      // same scheme as golden_extract_multi)
+      f(spark, 500L).withColumn("n_assets", lit(500))
+        .unionByName(f(spark, 2000L).withColumn("n_assets", lit(2000)))
+    }
+    writeSingle(multi(mediaMeta), s"$FixtureDir/media_meta_multi.parquet")
+    writeSingle(multi(mediaFeatures),
+      s"$FixtureDir/media_features_multi.parquet")
+    writeSingle(multi(mediaFrames), s"$FixtureDir/media_frames_multi.parquet")
+    writeSingle(multi(mediaResize), s"$FixtureDir/media_resize_multi.parquet")
     spark.stop()
   }
 
@@ -332,9 +343,9 @@ object FixtureGen {
 
   private val N = 500L
 
-  def mediaMeta(spark: SparkSession): DataFrame = {
+  def mediaMeta(spark: SparkSession, n: Long = N): DataFrame = {
     import spark.implicits._
-    spark.range(0, N).map { id =>
+    spark.range(0, n).map { id =>
       val p = synthParams(id)
       p.kind match {
         case "image" =>
@@ -348,9 +359,9 @@ object FixtureGen {
       "n_frames", "payload_bytes", "valid")
   }
 
-  def mediaFeatures(spark: SparkSession): DataFrame = {
+  def mediaFeatures(spark: SparkSession, n: Long = N): DataFrame = {
     import spark.implicits._
-    spark.range(0, N).map { id =>
+    spark.range(0, n).map { id =>
       val p = synthParams(id)
       val hist = new Array[Int](32)
       var i = 0
@@ -368,18 +379,18 @@ object FixtureGen {
     }.toDF("asset_id", "kind", "feat_norm2")
   }
 
-  def mediaFrames(spark: SparkSession): DataFrame = {
+  def mediaFrames(spark: SparkSession, n: Long = N): DataFrame = {
     import spark.implicits._
-    spark.range(0, N).flatMap { id =>
+    spark.range(0, n).flatMap { id =>
       val p = synthParams(id)
       if (p.kind != "video") Iterator.empty
       else (0 until p.b by 2).iterator.map(f => (p.id, f, p.a * p.a))
     }.toDF("asset_id", "frame_idx", "frame_bytes")
   }
 
-  def mediaResize(spark: SparkSession): DataFrame = {
+  def mediaResize(spark: SparkSession, n: Long = N): DataFrame = {
     import spark.implicits._
-    spark.range(0, N).flatMap { id =>
+    spark.range(0, n).flatMap { id =>
       val p = synthParams(id)
       if (p.kind != "image") Iterator.empty
       else Iterator((p.id, p.a / 2, p.b / 2, (p.a / 2) * (p.b / 2)))
