@@ -256,47 +256,9 @@ object TrainingQueries {
     // the approx side touches only probe-bucket candidates. Ranking
     // uses the 4-decimal-rounded cosine then vec_id, the same
     // deterministic tie order as every ANN oracle here.
-    "q66_ann_recall" -> ((s, dir) => {
-      val k = 10
-      val nPlanes = 8
-      val planes = Ann.hyperplanes(nPlanes, 64)
-      val base = Dedup.trackPersisted(
-        Ann.withLshBucket(
-          Ann.withNormalized(
-            embs(s, dir).select(col("vec_id"), col("embedding")),
-            "embedding", "vn"),
-          "embedding", planes, "bkt")
-          .select(col("vec_id"), col("vn"), col("bkt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val qrows = base.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("vn").as("qv"),
-          col("bkt").as("qbkt"))
-      val probes = broadcast(qrows
-        .select(col("qid"), col("qv"), explode(array(
-          col("qbkt") +: (0 until nPlanes).map(i =>
-            col("qbkt").bitwiseXOR(lit(1L << i))): _*)).as("bkt")))
-      val wTop = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      val approxTop = base.join(probes, Seq("bkt"))
-        .select(col("qid"), col("vec_id"),
-          Ann.round4(Expressions.arrayDot(col("vn"), col("qv"))).as("cos"))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= k)
-      val exactTop = base
-        .crossJoin(broadcast(qrows.select(col("qid"), col("qv"))))
-        .select(col("qid"), col("vec_id"),
-          Ann.round4(Expressions.arrayDot(col("vn"), col("qv"))).as("cos"))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= k)
-      val hits = exactTop.select(col("qid"), col("vec_id"))
-        .join(approxTop.select(col("qid"), col("vec_id")),
-          Seq("qid", "vec_id"), "left_semi")
-        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
-      qrows.select(col("qid"))
-        .join(hits, Seq("qid"), "left")
-        .select(col("qid"), Ann.round4(
-          coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
-    }),
+    "q66_ann_recall" -> ((s, dir) =>
+      Ann.annRecall(embs(s, dir), "embedding", "vec_id",
+        col("vec_id") < 20, k = 10, nPlanes = 8, dim = 64)),
 
     // the scale-parameterized IVF operating point: nCentroids = ⌈√N⌉
     // (the standard balance between cell-scan cost and probe fan-out) —
@@ -367,41 +329,9 @@ object TrainingQueries {
     // join). Determinism: per-bucket λ is floor-quantized to 4
     // decimals and the per-doc sum is an exact DECIMAL(18,4) — the
     // q55 scheme, with the same disclosed ~1-ulp ln() caveat.
-    "q67_dsir_weights" -> ((s, dir) => {
-      val B = 10000L
-      val d = docs(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          TextFunctions.tokens(lower(col("text"))).as("t"))
-        .filter(col("t").isNotNull)
-      val feats = d.select(col("doc_id"), explode(concat(col("t"),
-          TextFunctions.ngramsFromTokens(col("t"), 2))).as("f"))
-        .select(col("doc_id"),
-          pmod(Expressions.fnv1a64(col("f")), lit(B)).as("b"))
-      val docFeat = Dedup.trackPersisted(feats
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val bucketCounts = docFeat
-        .groupBy(col("b")).agg(
-          sum(when(col("doc_id") % 50 === 0, col("n")).otherwise(0L))
-            .as("ct"),
-          sum(when(col("doc_id") % 50 =!= 0, col("n")).otherwise(0L))
-            .as("cr"))
-      val totals = bucketCounts.agg(sum(col("ct")).as("tt"),
-        sum(col("cr")).as("tr"))
-      val lam = broadcast(bucketCounts.crossJoin(broadcast(totals))
-        .select(col("b"), Ann.round4(
-          log((col("ct") + 1).cast("double") /
-            (col("tt") + B).cast("double")) -
-          log((col("cr") + 1).cast("double") /
-            (col("tr") + B).cast("double")))
-          .cast("decimal(18,4)").as("lam")))
-      docFeat.join(lam, Seq("b"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("n")).as("n_feat"),
-          sum(col("lam") * col("n")).cast("double").as("w"))
-        .select(col("doc_id"), col("n_feat"),
-          Ann.round4(col("w")).as("weight"))
-    }),
+    "q67_dsir_weights" -> ((s, dir) =>
+      TextFunctions.dsirWeights(docs(s, dir), "text", "doc_id",
+        isTarget = col("doc_id") % 50 === 0)),
 
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
@@ -657,43 +587,7 @@ object TrainingQueries {
             .when(col("doc_id") % 7 === 3,
               concat(col("text"), lit(" " + SpanBoiler2)))
             .otherwise(col("text")).as("text"))
-      val toks = Dedup.trackPersisted(
-        d.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // (doc_id, start, fp) for every k-token window, duplicates kept
-      // in order — posexplode's index IS the 0-based token offset
-      val spans = toks
-        .select(col("doc_id"), posexplode(Expressions.arrayFnv1a64(
-          TextFunctions.ngramsFromTokens(col("t"), SpanK)))
-          .as(Seq("start", "fp")))
-      val dup = spans.groupBy(col("fp"))
-        .agg(count(lit(1)).as("n"),
-          min(struct(col("doc_id"), col("start"))).as("f"))
-        .filter(col("n") > 1)
-        .select(col("fp"), col("f.doc_id").as("fdoc"),
-          col("f.start").as("fstart"))
-      val masked = spans.join(dup, Seq("fp"))
-        .filter(col("doc_id") =!= col("fdoc") ||
-          col("start") =!= col("fstart"))
-        .select(col("doc_id"),
-          explode(sequence(col("start"), col("start") + lit(SpanK - 1)))
-            .as("pos"))
-        .distinct()
-      val tokPos = toks
-        .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
-      val kept = tokPos.join(masked, Seq("doc_id", "pos"), "left_anti")
-      val agg = kept.groupBy(col("doc_id"))
-        .agg(array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("tok")))),
-            e => e.getField("tok")), " ").as("clean_text"),
-          count(lit(1)).as("n_kept"))
-      toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
-        .join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"),
-          col("n_tokens"),
-          (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-            .as("n_dropped"))
+      Dedup.spanDedup(d, "text", "doc_id", SpanK)
     }),
 
     // C4-style quality signal suite (Raffel et al. 2020 §2.2 + Gopher

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -177,6 +178,60 @@ object Ann {
     val cells = withIvfCell(df, vecCol, cents, "ivf_cell")
     cosineTopK(cells.filter(col("ivf_cell").isin(probes.toSeq: _*)),
       vecCol, idCol, query, k)
+  }
+
+  /** Recall@k of the sign-LSH index (bucket + Hamming-1 probes)
+    * against the exact scan, for a SET of query vectors, in one
+    * distributed pass — the measurement an approximate index needs
+    * before it replaces the exact path. Scale shape: the corpus is
+    * normalized + bucketed once (persisted, single scan); the query
+    * set broadcasts (eval sets are small, corpora are not); the exact
+    * baseline is a broadcast nested-loop against the query table
+    * (inherently N×Q — that IS the exact scan); the approx side
+    * touches only probe-bucket candidates. Both rankings use the
+    * 4-decimal-rounded cosine then id — the deterministic tie order
+    * shared by every ANN operator here.
+    *
+    * Returns (qid, recall) for every row of `df` matching
+    * `queryPred`.
+    */
+  def annRecall(df: DataFrame, vecCol: String, idCol: String,
+      queryPred: Column, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val base = Dedup.trackPersisted(
+      withLshBucket(
+        withNormalized(df.select(col(idCol), col(vecCol)), vecCol, "vn"),
+        vecCol, planes, "bkt")
+        .select(col(idCol), col("vn"), col("bkt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val qrows = base.filter(queryPred)
+      .select(col(idCol).as("qid"), col("vn").as("qv"),
+        col("bkt").as("qbkt"))
+    val probes = broadcast(qrows
+      .select(col("qid"), col("qv"), explode(array(
+        col("qbkt") +: (0 until nPlanes).map(i =>
+          col("qbkt").bitwiseXOR(lit(1L << i))): _*)).as("bkt")))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col(idCol))
+    val approxTop = base.join(probes, Seq("bkt"))
+      .select(col("qid"), col(idCol),
+        round4(Expressions.arrayDot(col("vn"), col("qv"))).as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+    val exactTop = base
+      .crossJoin(broadcast(qrows.select(col("qid"), col("qv"))))
+      .select(col("qid"), col(idCol),
+        round4(Expressions.arrayDot(col("vn"), col("qv"))).as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+    val hits = exactTop.select(col("qid"), col(idCol))
+      .join(approxTop.select(col("qid"), col(idCol)),
+        Seq("qid", idCol), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    qrows.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), round4(
+        coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
   /** Stage the sign-LSH bucket id (0 .. 2^nPlanes-1) of a vector column:

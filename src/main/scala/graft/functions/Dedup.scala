@@ -482,6 +482,71 @@ object Dedup {
       maxBucket, stats)
   }
 
+  /** Sub-line repeated-SPAN dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", at k-token window
+    * granularity): every k-token span whose fingerprint occurs more
+    * than once in the corpus keeps only its FIRST occurrence — min
+    * (id, start) — every token covered by a non-first duplicated
+    * window is removed, and each document is rebuilt from its
+    * surviving tokens. The finer-grained sibling of corpus-wide line
+    * dedup.
+    *
+    * Scale shape: span fingerprints are 8-byte FNV longs (~24 B/span
+    * through the fp exchange — the text never shuffles on fp); the
+    * global keep decision is a groupBy(fp).agg(count, min(struct))
+    * with map-side partial aggregation (a boilerplate span duplicated
+    * across millions of docs combines before the exchange); only
+    * DUPLICATED fingerprints (count > 1) join back, bounding the mask
+    * join to the duplicated mass; the token payload rides only
+    * doc-keyed shuffles. The corpus is tokenized exactly once — the
+    * persisted token table feeds both the span generator and the
+    * rebuild (single-scan audited).
+    *
+    * Returns (idCol, clean_text, n_tokens, n_dropped) for every input
+    * row with non-null text.
+    */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val toks = trackPersisted(
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol), TextFunctions.tokens(col(textCol)).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // (id, start, fp) for every k-token window, duplicates kept in
+    // order — posexplode's index IS the 0-based token offset
+    val spans = toks
+      .select(col(idCol), posexplode(Expressions.arrayFnv1a64(
+        TextFunctions.ngramsFromTokens(col("t"), k)))
+        .as(Seq("start", "fp")))
+    val dup = spans.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col(idCol), col("start"))).as("f"))
+      .filter(col("n") > 1)
+      .select(col("fp"), col(s"f.$idCol").as("fdoc"),
+        col("f.start").as("fstart"))
+    val masked = spans.join(dup, Seq("fp"))
+      .filter(col(idCol) =!= col("fdoc") ||
+        col("start") =!= col("fstart"))
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + lit(k - 1)))
+          .as("pos"))
+      .distinct()
+    val tokPos = toks
+      .select(col(idCol), posexplode(col("t")).as(Seq("pos", "tok")))
+    val kept = tokPos.join(masked, Seq(idCol, "pos"), "left_anti")
+    val agg = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col(idCol), size(col("t")).cast("long").as("n_tokens"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** Transitive near-dup clusters: the final dedup step. Pairwise
     * generators (jaccard / simhash / embedding) emit EDGES; keeping one
     * doc per connected component — not per pair — is what actually

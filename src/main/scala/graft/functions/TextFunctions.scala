@@ -157,4 +157,57 @@ object TextFunctions {
         (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*))
     }: _*)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): features are
+    * unigrams+bigrams hashed into a FIXED `buckets`-sized space; a
+    * doc's weight is Σ n_b · ln(p_target(b)/p_raw(b)) with Laplace
+    * smoothing, where the target/raw split comes from `isTarget`.
+    *
+    * Scale shape: the feature space is fixed-size, so the per-bucket
+    * log-ratio table is `buckets` rows and BROADCASTS regardless of
+    * corpus size; doc features pre-aggregate to (id, bucket, n) with
+    * map-side combine before any join; the corpus is featurized once
+    * (persisted docFeat feeds both the bucket counts and the scoring
+    * join). Determinism: per-bucket λ is floor-quantized to 4 decimals
+    * and the per-doc sum is an exact DECIMAL(18,4) — the same scheme
+    * as the surprisal operator, with the same disclosed ~1-ulp ln()
+    * caveat.
+    *
+    * Returns (idCol, n_feat, weight) for every doc with ≥1 feature.
+    */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, isTarget: Column,
+      buckets: Long = 10000L): org.apache.spark.sql.DataFrame = {
+    val d = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), isTarget.as("_graft_is_t"),
+        tokens(lower(col(textCol))).as("t"))
+      .filter(col("t").isNotNull)
+    val feats = d.select(col(idCol), col("_graft_is_t"),
+        explode(concat(col("t"), ngramsFromTokens(col("t"), 2))).as("f"))
+      .select(col(idCol), col("_graft_is_t"),
+        pmod(Expressions.fnv1a64(col("f")), lit(buckets)).as("b"))
+    val docFeat = Dedup.trackPersisted(feats
+      .groupBy(col(idCol), col("_graft_is_t"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bucketCounts = docFeat
+      .groupBy(col("b")).agg(
+        sum(when(col("_graft_is_t"), col("n")).otherwise(0L)).as("ct"),
+        sum(when(!col("_graft_is_t"), col("n")).otherwise(0L)).as("cr"))
+    val totals = bucketCounts.agg(sum(col("ct")).as("tt"),
+      sum(col("cr")).as("tr"))
+    val lam = broadcast(bucketCounts.crossJoin(broadcast(totals))
+      .select(col("b"), Ann.round4(
+        log((col("ct") + 1).cast("double") /
+          (col("tt") + buckets).cast("double")) -
+        log((col("cr") + 1).cast("double") /
+          (col("tr") + buckets).cast("double")))
+        .cast("decimal(18,4)").as("lam")))
+    docFeat.join(lam, Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_feat"),
+        sum(col("lam") * col("n")).cast("double").as("w"))
+      .select(col(idCol), col("n_feat"), Ann.round4(col("w")).as("weight"))
+  }
 }

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit specs for the round-5 training-data operators, on handcrafted
+  * corpora with pencil-derivable expectations — the oracle queries
+  * verify them against DuckDB at three scales; these pin the SEMANTICS
+  * on inputs small enough to check by hand. */
+class TrainingOpsSpec extends SparkSpec {
+
+  test("spanDedup: duplicated k-token span keeps only its first occurrence") {
+    import spark.implicits._
+    // k=3; docs 1 and 2 share the span "a b c"; doc 3 is clean.
+    // doc 1: "a b c x"  → spans {a b c, b c x} — both unique-first
+    // doc 2: "y a b c"  → span "a b c" at start 1 duplicates doc 1's
+    //        start 0 → tokens 1,2,3 masked → only "y" survives
+    // doc 3: "p q r"    → its one span is unique
+    val docs = Seq(
+      (1L, "a b c x"),
+      (2L, "y a b c"),
+      (3L, "p q r")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "text", "doc_id", k = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq(
+      (1L, "a b c x", 4L, 0L),
+      (2L, "y", 4L, 3L),
+      (3L, "p q r", 3L, 0L)))
+    Dedup.releaseCaches()
+  }
+
+  test("spanDedup: within-doc repeat masks the second occurrence") {
+    import spark.implicits._
+    // "a b a b" with k=2: spans (a b)@0, (b a)@1, (a b)@2 — the second
+    // "a b" masks tokens 2,3 → "a b" survives
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "text", "doc_id", k = 2).collect()
+    assert(out.head.getString(1) === "a b")
+    assert(out.head.getLong(3) === 2L)
+    Dedup.releaseCaches()
+  }
+
+  test("spanDedup: doc shorter than k is untouched; empty text kept as empty") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "text", "doc_id", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq((1L, "a b", 2L, 0L), (2L, "", 0L, 0L)))
+    Dedup.releaseCaches()
+  }
+
+  test("annRecall: with one plane every bucket is probed — recall is exactly 1.0") {
+    import spark.implicits._
+    // nPlanes=1 → 2 buckets, and the probe set (own bucket + its one
+    // Hamming-1 neighbor) covers BOTH, so the approx candidate set is
+    // the whole corpus and approx top-k == exact top-k for every query
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.annRecall(vecs, "embedding", "vec_id",
+      col("vec_id") < 3, k = 5, nPlanes = 1, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out.values.forall(_ === 1.0), s"expected perfect recall: $out")
+    Dedup.releaseCaches()
+  }
+
+  test("annRecall: every query at least finds itself (cos 1.0 tops both lists)") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (((i * 13 + d * 5) % 17) - 8).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.annRecall(vecs, "embedding", "vec_id",
+      col("vec_id") < 5, k = 10, nPlanes = 6, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length === 5)
+    // the query vector shares its own bucket, scores rounded-cos 1.0,
+    // and wins the deterministic tie order in both rankings
+    assert(out.forall(_._2 >= 0.1), s"self-hit missing: ${out.toSeq}")
+    assert(out.forall(_._2 <= 1.0))
+    Dedup.releaseCaches()
+  }
+
+  test("dsirWeights: target-distinctive features weigh positive, raw-distinctive negative") {
+    import spark.implicits._
+    // target docs are pure "aaa", raw docs pure "bbb"; a fresh doc of
+    // each kind in the raw split gets opposite-signed weights
+    val docs = (
+      (0 until 5).map(i => (i.toLong, "aaa aaa aaa", true)) ++
+      (10 until 15).map(i => (i.toLong, "bbb bbb bbb", false)) ++
+      Seq((20L, "aaa aaa", false), (21L, "bbb bbb", false)))
+      .toDF("doc_id", "text", "is_t")
+    val out = TextFunctions.dsirWeights(docs, "text", "doc_id",
+        isTarget = col("is_t"), buckets = 64L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out(20L) > 0, s"aaa doc should lean target: ${out(20L)}")
+    assert(out(21L) < 0, s"bbb doc should lean raw: ${out(21L)}")
+    // weight scales with feature count: 3-token aaa docs outweigh the
+    // 2-token one in absolute terms
+    assert(out(0L) > out(20L))
+    Dedup.releaseCaches()
+  }
+}
