@@ -221,8 +221,14 @@ object Bench {
       Seq(r1._2, r2._2).map(r => f"$r%.3f").mkString("[", ",", "]")
     val failedList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum + extractSec
+    // environment stamp: a 24g+ heap pushes G1 into a pathological
+    // regime for this allocation profile (measured 49.4 s vs 31.9 s on
+    // identical work, correctly flagged suspect by the probe) — the
+    // artifact records the heap so that failure mode is diagnosable
+    // from the JSON alone
+    val heapGb = Runtime.getRuntime.maxMemory() / (1 << 30)
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir","extract_turns":$turns%.0f,"extract_sec":$extractSec%.3f,"turns_per_sec":$turnsPerSec%.1f,"reps":$repsJson,"extract_reps":$extractRepsJson,"probe_ms":$probesJson,"probe_spread":$probeSpread%.2f,"noise":"$noise","timing":"min_of_2_cold_state_reps_after_warmup_materialized_input"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir","extract_turns":$turns%.0f,"extract_sec":$extractSec%.3f,"turns_per_sec":$turnsPerSec%.1f,"reps":$repsJson,"extract_reps":$extractRepsJson,"probe_ms":$probesJson,"probe_spread":$probeSpread%.2f,"noise":"$noise","heap_gb":$heapGb,"cpus":"$cpus","timing":"min_of_2_cold_state_reps_after_warmup_materialized_input"}"""
     println(json)
     // machine-readable copy: sbt's logger prefixes stdout lines, so the
     // driver's parser also gets a clean file to read. Repo-absolute (the
