@@ -173,8 +173,8 @@ object Bench {
     // warmup pass so the number reflects steady state, not
     // first-action JIT.
     val nConvs =
-      if (sfDir.contains("0.001")) 50
-      else if (sfDir.contains("0.01")) 500
+      if (new java.io.File(sfDir).getName.contains("0.001")) 50
+      else if (new java.io.File(sfDir).getName.contains("0.01")) 500
       else 30000
     // the queries leave persisted dedup relations AND the cluster
     // queries' result-backing localCheckpoint blocks in the block
@@ -226,7 +226,10 @@ object Bench {
     // identical work, correctly flagged suspect by the probe) — the
     // artifact records the heap so that failure mode is diagnosable
     // from the JSON alone
-    val heapGb = Runtime.getRuntime.maxMemory() / (1 << 30)
+    // round, don't floor: maxMemory() sits slightly under -Xmx (a
+    // reserved survivor region), and a 24g heap stamped as 23 would
+    // dodge the very threshold this field exists to flag
+    val heapGb = (Runtime.getRuntime.maxMemory() + (1L << 29)) / (1L << 30)
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir","extract_turns":$turns%.0f,"extract_sec":$extractSec%.3f,"turns_per_sec":$turnsPerSec%.1f,"reps":$repsJson,"extract_reps":$extractRepsJson,"probe_ms":$probesJson,"probe_spread":$probeSpread%.2f,"noise":"$noise","heap_gb":$heapGb,"cpus":"$cpus","timing":"min_of_2_cold_state_reps_after_warmup_materialized_input"}"""
     println(json)

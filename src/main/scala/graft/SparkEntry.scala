@@ -46,7 +46,7 @@ object SparkEntry {
     * frozen golden-extract fixture is the oracle at either sf; the
     * bench dir scales up. */
   private def nConvsFor(dir: String): Int =
-    if (dir.contains("0.1")) 1000 else 200
+    if (TrainingQueries.isSf01(dir)) 1000 else 200
 
   // ---------------------------------------------------------------------
   // Flagship (north star): the full transcript-extraction pipeline —

@@ -19,6 +19,14 @@ object TrainingQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Scale detection by the sf dir's BASENAME, never the full path —
+    * `dir.contains("0.1")` would also match a checkout under e.g.
+    * `/data/v0.1/repo` and silently flip every fixture-scoped query to
+    * the wrong slice while the (events-count-keyed) oracles stay put.
+    * ("sf0.01"/"sf0.001" do not contain the substring "0.1".) */
+  private[graft] def isSf01(dir: String): Boolean =
+    new java.io.File(dir).getName.contains("0.1")
+
   private val K = 16 // minhash signature size
   private val R = 4  // rows per LSH band
 
@@ -407,7 +415,6 @@ object TrainingQueries {
     // sequence-packing step that turns a filtered corpus into
     // ~fixed-size training shards. Integer window sums → exact oracle.
     "q54_token_packing" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       docs(s, dir)
@@ -641,7 +648,7 @@ object TrainingQueries {
     // image resize (2× box downsample) verified through the decoded
     // header of the resized asset
     "q40_image_resize" -> ((s, dir) => {
-      val n = if (dir.contains("0.1")) 2000L else 500L
+      val n = if (isSf01(dir)) 2000L else 500L
       val assets = graft.multimodal.Multimodal.dataset(s, n)
       graft.multimodal.Multimodal.decodeMeta(
         graft.multimodal.Multimodal.resizeImages(assets)).toDF()
@@ -653,13 +660,13 @@ object TrainingQueries {
     // real batch shape; fixture-golden DuckDB oracles — expectations
     // derived from the synth parameters in FixtureGen, frozen parquet)
     "q34_media_meta" -> ((s, dir) => {
-      val n = if (dir.contains("0.1")) 2000L else 500L
+      val n = if (isSf01(dir)) 2000L else 500L
       graft.multimodal.Multimodal
         .decodeMeta(graft.multimodal.Multimodal.dataset(s, n)).toDF()
     }),
 
     "q35_media_features" -> ((s, dir) => {
-      val n = if (dir.contains("0.1")) 2000L else 500L
+      val n = if (isSf01(dir)) 2000L else 500L
       val feats = graft.multimodal.Multimodal
         .extractFeatures(graft.multimodal.Multimodal.dataset(s, n)).toDF()
       feats.select(col("asset_id"), col("kind"),
@@ -668,7 +675,7 @@ object TrainingQueries {
     }),
 
     "q36_frame_sample" -> ((s, dir) => {
-      val n = if (dir.contains("0.1")) 2000L else 500L
+      val n = if (isSf01(dir)) 2000L else 500L
       graft.multimodal.Multimodal
         .sampleFrames(graft.multimodal.Multimodal.dataset(s, n), 2)
         .select(col("asset_id"), col("frame_idx"),

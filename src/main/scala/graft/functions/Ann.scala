@@ -198,13 +198,17 @@ object Ann {
   def annRecall(df: DataFrame, vecCol: String, idCol: String,
       queryPred: Column, k: Int, nPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
+    // queryPred evaluates while the caller's full column set is still
+    // in scope (the documented contract — it may reference any df
+    // column), staged as a boolean INTO the persisted relation so the
+    // query-set selection costs no second corpus scan (the single-scan
+    // invariant PlanInvariantsSpec enforces)
     val base = Dedup.trackPersisted(
-      withLshBucket(
-        withNormalized(df.select(col(idCol), col(vecCol)), vecCol, "vn"),
-        vecCol, planes, "bkt")
-        .select(col(idCol), col("vn"), col("bkt"))
+      withLshBucket(withNormalized(df, vecCol, "vn"), vecCol, planes, "bkt")
+        .withColumn("_q_sel", queryPred)
+        .select(col(idCol), col("vn"), col("bkt"), col("_q_sel"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val qrows = base.filter(queryPred)
+    val qrows = base.filter(col("_q_sel"))
       .select(col(idCol).as("qid"), col("vn").as("qv"),
         col("bkt").as("qbkt"))
     val probes = broadcast(qrows

@@ -96,7 +96,10 @@ final class SnapshotTable(val root: String) {
       val json = snapshotJson(snapshotId, dataPath, paths, files, summary)
       val manifest = metaDir.resolve(s"snapshot-$snapshotId.json")
       Files.write(manifest, json.getBytes(StandardCharsets.UTF_8))
-      val tmp = metaDir.resolve("current.tmp")
+      // per-WRITER tmp name: a shared "current.tmp" would let this
+      // writer's abort-cleanup delete a concurrent usurper's in-flight
+      // pointer file (and fail ITS commit outside its own cleanup)
+      val tmp = metaDir.resolve(s"current.tmp.$snapshotId")
       Files.write(tmp, snapshotId.getBytes(StandardCharsets.UTF_8))
       // LAST line of defense against a mid-commit lock break: if this
       // writer stalled past the staleness horizon and an operator broke
@@ -116,12 +119,15 @@ final class SnapshotTable(val root: String) {
         requireParent(expectedParent)
       } catch {
         case t: Throwable =>
+          // best-effort reclamation must never replace the abort
+          // exception (Files.walk can surface UncheckedIOException,
+          // a RuntimeException, not just IOException)
           try {
             Files.deleteIfExists(manifest)
             Files.deleteIfExists(tmp)
             val dir = Paths.get(dataPath)
             if (Files.exists(dir)) deleteRecursively(dir)
-          } catch { case _: java.io.IOException => () }
+          } catch { case scala.util.control.NonFatal(_) => () }
           throw t
       }
       Files.move(tmp, metaDir.resolve("current"),
