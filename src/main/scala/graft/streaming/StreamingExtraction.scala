@@ -82,18 +82,26 @@ object StreamingExtraction {
       // two distinct null-text turns can never share it, while a true
       // re-delivery of the same turn still collapses — exactly the
       // batch late-data policy's keyed dedupe. The colon-separated
-      // "nulltext:..." form cannot collide with a 32-hex md5. Each
-      // surrogate component is null-coalesced to a NUL-prefixed
-      // marker BEFORE concatenation (concat_ws silently SKIPS nulls, so
-      // two null-conv_id turns at the same turn_idx would alias to one
-      // key and one row would be dropped — the conflation this key
-      // exists to prevent; a real conv_id cannot contain NUL, so
-      // the marker cannot alias a populated one).
+      // "nulltext:"/"nullconv:" forms cannot collide with a 32-hex
+      // md5. A NULL conv_id leaves (conv_id, turn_idx) with no
+      // distinguishing identity at all — two unrelated null-conv turns
+      // at the same index would share ANY key built from those two
+      // fields (null-marker tricks included) and one would be silently
+      // dropped (pinned by the streaming spec). Such rows therefore
+      // degrade to FULL-ROW identity (every remaining field,
+      // NUL-marked so concat_ws cannot skip a null into an alias):
+      // distinct rows never collapse, and only an exact re-delivery —
+      // all fields equal — still dedupes.
       .withColumn("fp", coalesce(
         md5(graft.functions.TextFunctions.normText(col("text"))),
-        concat_ws(":", lit("nulltext"),
-          coalesce(col("conv_id"), lit("\u0000nullconv")),
-          coalesce(col("turn_idx").cast("string"), lit("\u0000nullidx")))))
+        when(col("conv_id").isNotNull,
+          concat_ws(":", lit("nulltext"), col("conv_id"),
+            col("turn_idx").cast("string"))),
+        concat_ws(":", lit("nullconv"),
+          coalesce(col("turn_idx").cast("string"), lit("\u0000")),
+          coalesce(col("role"), lit("\u0000")),
+          coalesce(col("tool"), lit("\u0000")),
+          coalesce(col("ts").cast("string"), lit("\u0000")))))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
       // the fingerprint is dedup state, not output: keep the caller's

@@ -64,7 +64,15 @@ class StreamingExtractionSpec extends SparkSpec {
     Seq(
       ("c4", 0, "user", "the same doc body", null.asInstanceOf[String], ts(3)),
       ("c5", 0, "assistant", null.asInstanceOf[String], "toolA", ts(4)),
-      ("c6", 0, "assistant", null.asInstanceOf[String], "toolB", ts(5)))
+      ("c6", 0, "assistant", null.asInstanceOf[String], "toolB", ts(5)),
+      // null conv_id AND null text at the same turn_idx: the surrogate
+      // key must keep these DISTINCT (round-5 fix — concat_ws silently
+      // skips a null conv_id, which aliased such rows onto one key and
+      // dropped one)
+      (null.asInstanceOf[String], 7, "assistant",
+        null.asInstanceOf[String], "toolA", ts(6)),
+      (null.asInstanceOf[String], 7, "assistant",
+        null.asInstanceOf[String], "toolB", ts(7)))
       .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
       .write.mode("append").parquet(in)
     val stream = spark.readStream.schema(StreamingExtraction.turnSchema)
@@ -81,7 +89,7 @@ class StreamingExtractionSpec extends SparkSpec {
       StreamingExtraction.turnSchema.fieldNames.sorted),
       "fingerprint staging column never reaches the sink schema")
     val got = result.select("conv_id")
-      .collect().map(_.getString(0)).toSet
+      .collect().map(_.getString(0)).filter(_ != null).toSet
     // one survivor per distinct canonical content: c1/c2/c4 collapse
     // (normText folds case+whitespace), c3 is its own content — and
     // BOTH null-text rows survive as distinct rows
@@ -89,6 +97,10 @@ class StreamingExtractionSpec extends SparkSpec {
     assert(Set("c5", "c6").subsetOf(got),
       "null-fingerprint rows must pass through dedup, not collapse")
     assert((got - "c3" - "c5" - "c6").subsetOf(Set("c1", "c2", "c4")))
+    assert(result.filter(org.apache.spark.sql.functions.col("conv_id")
+        .isNull).count() == 2,
+      "two distinct (null conv_id, null text) turns at one turn_idx " +
+        "must both survive — the surrogate key may not alias them")
   }
 
   test("stateful conversation summaries via mapGroupsWithState") {
