@@ -341,6 +341,38 @@ object TrainingQueries {
       TextFunctions.dsirWeights(docs(s, dir), "text", "doc_id",
         isTarget = col("doc_id") % 50 === 0)),
 
+    // FUZZY eval-set decontamination (the GPT-3-style near-dup variant
+    // of q56's exact 8-gram rule): flag every train doc whose 3-gram
+    // Jaccard with ANY eval doc reaches 0.5 — catches lightly edited
+    // contamination (appended boilerplate, small perturbations) that
+    // exact gram overlap can miss when grams shift. Both sides plant
+    // the positives: near-copies of every eval doc (three appended
+    // sentinel tokens → Jaccard ≈ n/(n+5), well above threshold) enter
+    // the train split under id+300000. Candidates come from the SAME
+    // MinHash-band machinery as q31/q45 (bucket-local, occupancy-
+    // capped, hashed shingles on the exchange), run over the combined
+    // corpus; only cross-split pairs flag. The oracle mirrors the
+    // banding exactly, so probabilistic band recall agrees
+    // pair-for-pair.
+    "q68_fuzzy_decontam" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val ev = d.filter(col("doc_id") % 50 === 0)
+      val corpus = d.filter(col("doc_id") % 50 =!= 0)
+        .unionByName(ev.select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" zqcontam zqcontamb zqcontamc"))
+            .as("text")))
+        .unionByName(ev)
+      val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        n = 3, threshold = 0.5, K, R, hashShingles = true)
+      def isEval(id: org.apache.spark.sql.Column) =
+        id % 50 === 0 && id < 300000
+      pairs.filter(isEval(col("a")) =!= isEval(col("b")))
+        .select(when(isEval(col("a")), col("b")).otherwise(col("a"))
+          .as("doc_id"))
+        .distinct()
+    }),
+
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
     // scores each doc by its mean token surprisal −ln(cnt/total). The
@@ -1196,6 +1228,27 @@ object TrainingQueries {
          |WHERE h IN (SELECT h FROM evg)""".stripMargin
     },
 
+    "q68_fuzzy_decontam" -> {
+      val ctes = jaccardCtes(hashed = true, from = "corpus",
+        threshold = 0.5)
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 50 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 300000,
+         |    text || ' zqcontam zqcontamb zqcontamc'
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 50 = 0
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 50 = 0),
+         |$ctes
+         |SELECT DISTINCT CASE WHEN (a % 50 = 0 AND a < 300000) THEN b
+         |       ELSE a END AS doc_id
+         |FROM jp
+         |WHERE (a % 50 = 0 AND a < 300000)
+         |   <> (b % 50 = 0 AND b < 300000)""".stripMargin
+    },
+
     "q67_dsir_weights" -> {
       val bucket = s"((${toSigned(fnvSql("f"))} % 10000) + 10000) % 10000"
       s"""WITH d AS (
@@ -1431,7 +1484,8 @@ object TrainingQueries {
     * `jp(a, b, jaccard)` — shared by the pair queries and the q50
     * cluster oracle (which prepends RECURSIVE and appends the
     * reachability closure). */
-  private def jaccardCtes(hashed: Boolean): String = {
+  private def jaccardCtes(hashed: Boolean, from: String = "documents",
+      threshold: Double = 0.2): String = {
     val bands = (0 until K / R).map(b =>
       s"SELECT doc_id, $b AS band, ${bandKeyExpr(b)} AS band_key FROM sig")
       .mkString(" UNION ALL ")
@@ -1441,7 +1495,7 @@ object TrainingQueries {
     val shingleExpr =
       if (hashed) s"list_distinct(list_transform($grams, g -> ${fnvSql("g")}))"
       else s"list_distinct($grams)"
-    s"""sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS s FROM documents),
+    s"""sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS s FROM $from),
        |bk AS ($bands),
        |ok AS (
        |  SELECT band, band_key FROM bk GROUP BY band, band_key
@@ -1453,7 +1507,7 @@ object TrainingQueries {
        |  JOIN bk r ON l.band = r.band AND l.band_key = r.band_key
        |  WHERE l.doc_id < r.doc_id),
        |sh AS (SELECT doc_id, $shingleExpr AS g
-       |  FROM (SELECT doc_id, $TOK AS t FROM documents) tt),
+       |  FROM (SELECT doc_id, $TOK AS t FROM $from) tt),
        |j AS (SELECT a, b,
        |    len(list_intersect(sa.g, sb.g))::DOUBLE AS inter,
        |    (len(sa.g) + len(sb.g) - len(list_intersect(sa.g, sb.g)))::DOUBLE AS uni
@@ -1461,7 +1515,7 @@ object TrainingQueries {
        |jp AS (
        |  SELECT a, b, floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 AS jaccard
        |  FROM j
-       |  WHERE floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 >= 0.2)""".stripMargin
+       |  WHERE floor((CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) * 10000 + 0.5) / 10000 >= $threshold)""".stripMargin
   }
 
   /** Brute-force hashed-3-gram Jaccard over a small frozen corpus
