@@ -22,14 +22,26 @@ import org.apache.spark.sql.SparkSession
   *  - `reps`: every rep's wall time per query (failures as -1), so a
   *    reader can see whether the min came from agreeing reps or from
   *    one lucky rep between load spikes;
-  *  - `probe_ms`: a fixed-work single-thread CPU calibration probe
-  *    (FNV-1a over a pinned 4 MB buffer) sampled before each query's
-  *    reps — constant work whose wall time moves ONLY with external
-  *    load, so a load window appears as a visible bump in the series
-  *    exactly where the inflated queries sit;
-  *  - `noise`: "clean" | "suspect", computed from probe spread and
-  *    rep disagreement — a machine-readable flag that the artifact's
-  *    numbers may overstate the engine's cost.
+  *  - `probe_ms` / `mem_probe_ms`: fixed-work single-thread CPU
+  *    (FNV-1a, register/L1) and memory-bandwidth (streamed 64 MB sum)
+  *    calibration probes sampled before each query's reps — constant
+  *    work whose wall time moves ONLY with external pressure, so a
+  *    load window appears as a bump in the series exactly where the
+  *    inflated queries sit; medians are absolute, comparable across
+  *    runs (clean host: ~50 ms CPU / ~14 ms memory);
+  *  - `foreign_cores`: per-rep host-CPU attribution (busy jiffies
+  *    minus this JVM) — the direct co-tenant signal both probes can
+  *    miss when a neighbor occupies OTHER cores;
+  *  - `gc_sec_all_reps`: this JVM's collector time inside timed
+  *    regions — wall inflation with flat probes, zero foreign load,
+  *    and high GC is heap pressure, not the engine;
+  *  - `noise`: "clean" | "suspect", computed from probe spreads,
+  *    foreign-core median, and rep disagreement — a machine-readable
+  *    flag that the artifact's numbers may overstate the engine's
+  *    cost. Residual run-to-run variance on this virtualized host
+  *    (~±15% with every internal signal flat) is host-level
+  *    (sub-jiffy steal, EPT/THP effects) — min-of-reps plus these
+  *    series are the honest bound on it.
   */
 object Bench {
 
@@ -69,6 +81,60 @@ object Bench {
     }
     probeSink = h
     (System.nanoTime() - t0) / 1e6
+  }
+
+  /** Memory-bound sibling of [[calibrationProbe]]: a strided sum over
+    * a 64 MB long array (far beyond LLC, stride defeats the
+    * prefetcher) whose wall time moves with DRAM-bandwidth pressure.
+    * The register/L1-bound CPU probe is BLIND to a co-tenant hammering
+    * the memory bus — a window that uniformly inflated one round-5 run
+    * 1.2× while the CPU probe read dead flat — so the noise verdict
+    * needs both. */
+  private lazy val memProbeBuf: Array[Long] = {
+    val b = new Array[Long](8 << 20) // 64 MB
+    var i = 0
+    while (i < b.length) { b(i) = i * 0x9e3779b97f4a7c15L; i += 1 }
+    b
+  }
+
+  def memCalibrationProbe(): Double = {
+    val buf = memProbeBuf
+    var s = 0L
+    val t0 = System.nanoTime()
+    var pass = 0
+    while (pass < 4) {
+      // one load per 64 B cacheline, sequential: the prefetcher
+      // streams it at memory bandwidth — 64 MB of traffic per pass
+      var i = pass
+      while (i < buf.length) { s += buf(i); i += 8 }
+      pass += 1
+    }
+    probeSink = s
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** Host busy jiffies (all cores, USER_HZ=100): total minus idle and
+    * iowait from /proc/stat's first line. Paired with this process's
+    * own CPU time it yields FOREIGN cores consumed during a timed
+    * region — direct attribution of co-tenant load, the signal the
+    * single-thread probes are blind to (a neighbor on 8 of 32 logical
+    * CPUs costs a 32-thread job ~25% while a 1-thread probe reads
+    * flat). Same instrument ScalingBench's rep filter uses. */
+  private def hostBusyJiffies(): Long = {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val v = src.getLines().next().split("\\s+").drop(1).map(_.toLong)
+      v.sum - v(3) - v(4)
+    } finally src.close()
+  }
+  private lazy val osBean =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
   }
 
   def session(cpus: String): SparkSession = SparkSession.builder()
@@ -113,9 +179,12 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    // JIT-warm the calibration probe before its first recorded sample
+    // JIT-warm both calibration probes before their first recorded
+    // samples
     calibrationProbe(); calibrationProbe(); calibrationProbe()
+    memCalibrationProbe(); memCalibrationProbe()
     val probes = scala.collection.mutable.ArrayBuffer[Double]()
+    val memProbes = scala.collection.mutable.ArrayBuffer[Double]()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a throwing query must be reported as FAILED (-1), never as its
@@ -130,26 +199,40 @@ object Bench {
       // blocking=true: the sweep is OUTSIDE the timed region, so making
       // eviction synchronous is free — and it guarantees the blocks are
       // actually gone at t0 rather than evicting inside the clock.
-      def once(): Double =
+      // returns (sec, foreignCores, gcSec): foreign = host busy CPU
+      // not attributable to this JVM during the timed region, in
+      // cores; gcSec = this JVM's collector time inside the region
+      // (GC pauses serialize the job — wall inflation with flat
+      // probes and zero foreign load is usually GC)
+      def once(): (Double, Double, Double) =
         try {
           graft.functions.Dedup.releaseCaches()
           spark.sharedState.cacheManager.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
+          val b0 = hostBusyJiffies()
+          val my0 = osBean.getProcessCpuTime
+          val g0 = gcMillis()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
-      // one probe sample per query, taken right before its reps: the
-      // series indexes the load timeline onto the query timeline
+          val wall = (System.nanoTime() - t0) / 1e9
+          val mySec = (osBean.getProcessCpuTime - my0) / 1e9
+          val other = ((hostBusyJiffies() - b0) / 100.0 - mySec) / wall
+          (wall, math.max(0.0, other), (gcMillis() - g0) / 1e3)
+        } catch { case _: Throwable => (-1.0, 0.0, 0.0) }
+      // one sample of each probe per query, taken right before its
+      // reps: the series index the load timeline onto the query
+      // timeline — CPU probe for scheduler/frequency pressure, memory
+      // probe for DRAM-bandwidth contention the CPU probe cannot see
       probes += calibrationProbe()
+      memProbes += memCalibrationProbe()
       // min of 2 good reps; >2× disagreement OR a single transient
       // failure (external load can kill one rep of a healthy query) →
       // one tie-breaker rep, still min of successes; FAILED only when
       // no rep succeeds
       val r1 = once(); val r2 = once()
-      val good0 = Seq(r1, r2).filter(_ >= 0)
-      val (t, reps) =
+      val good0 = Seq(r1._1, r2._1).filter(_ >= 0)
+      val (t, runs) =
         if (good0.isEmpty) (-1.0, Seq(r1, r2))
         else {
           val best = good0.min
@@ -157,13 +240,15 @@ object Bench {
             (best > 0.3 && good0.max > 2 * best)
           if (retry) {
             val t3 = once()
-            (if (t3 >= 0) math.min(best, t3) else best, Seq(r1, r2, t3))
+            (if (t3._1 >= 0) math.min(best, t3._1) else best,
+              Seq(r1, r2, t3))
           } else (best, Seq(r1, r2))
         }
-      (name, t, reps)
+      (name, t, runs.map(_._1), runs.map(_._2), runs.map(_._3))
     }
     probes += calibrationProbe()
-    val failed = results.collect { case (n, t, _) if t < 0 => n }
+    memProbes += memCalibrationProbe()
+    val failed = results.collect { case (n, t, _, _, _) if t < 0 => n }
 
     // headline: extraction throughput over EXACTLY the scaling
     // harness's input shape (30k conversations, paraScale 16 → ~30 KB
@@ -187,36 +272,74 @@ object Bench {
       .foreach(_.unpersist(blocking = true))
     timeExtract(spark, math.max(nConvs / 4, 50))
     probes += calibrationProbe()
+    memProbes += memCalibrationProbe()
     val r1 = timeExtract(spark, nConvs)
     val r2 = timeExtract(spark, nConvs)
     probes += calibrationProbe()
+    memProbes += memCalibrationProbe()
     val (turns, extractSec) = if (r1._2 <= r2._2) r1 else r2
     val turnsPerSec = if (extractSec > 0) turns / extractSec else 0.0
 
-    // noise verdict: the probe is fixed work, so spread beyond thermal
-    // jitter (clean runs on this box hold max/min under ~1.5) means an
-    // external-load window overlapped the run; widespread >2× rep
-    // disagreement on non-trivial queries is the same signature seen
-    // from inside the engine. Either alone flags the artifact.
-    val probeSpread =
-      if (probes.nonEmpty && probes.min > 0) probes.max / probes.min else 1.0
-    val noisyQueries = results.count { case (_, t, reps) =>
+    // noise verdict: both probes are fixed work, so spread beyond
+    // thermal jitter (clean runs on this box hold max/min under ~1.5)
+    // means an external-load window overlapped the run — the CPU probe
+    // catches scheduler/frequency pressure, the memory probe catches
+    // DRAM-bandwidth contention (which inflated one round-5 run a
+    // uniform 1.2× while the CPU probe read dead flat); widespread >2×
+    // rep disagreement on non-trivial queries is the same signature
+    // seen from inside the engine. Any one alone flags the artifact.
+    // robust spread (p90/p10, not max/min — one GC-overlapped sample
+    // out of 70 must not flag a clean run) plus ABSOLUTE medians: a
+    // contention window spanning the entire run produces no within-run
+    // spread at all, but its elevated median is visible against the
+    // committed clean-host reference (~48 ms CPU / ~14 ms memory on
+    // this box, BENCH/BASELINE.md)
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.max(0, (p * (s.size - 1)).round.toInt)))
+    }
+    def spread(xs: Seq[Double]): Double =
+      if (xs.nonEmpty && pct(xs, 0.1) > 0) pct(xs, 0.9) / pct(xs, 0.1)
+      else 1.0
+    val probeSpread = spread(probes.toSeq)
+    val memProbeSpread = spread(memProbes.toSeq)
+    val probeMed = if (probes.nonEmpty) pct(probes.toSeq, 0.5) else 0.0
+    val memProbeMed =
+      if (memProbes.nonEmpty) pct(memProbes.toSeq, 0.5) else 0.0
+    val noisyQueries = results.count { case (_, t, reps, _, _) =>
       val good = reps.filter(_ >= 0)
       t > 0.3 && good.size >= 2 && good.max > 2 * good.min
     }
+    // direct co-tenant attribution: median foreign cores across every
+    // rep — the one signal that catches a neighbor occupying OTHER
+    // cores for the whole run (both probes read flat through exactly
+    // that window; a 32-thread job still loses the occupied capacity)
+    val allForeign = results.flatMap { case (_, t, _, fc, _) =>
+      if (t >= 0) fc else Nil }
+    val gcTotal = results.flatMap { case (_, t, _, _, gcs) =>
+      if (t >= 0) gcs else Nil }.sum
+    val foreignMed =
+      if (allForeign.nonEmpty) pct(allForeign, 0.5) else 0.0
     val extractNoisy = extractSec > 0.3 &&
       math.max(r1._2, r2._2) > 2 * math.min(r1._2, r2._2)
     val noise =
-      if (probeSpread > 1.75 || noisyQueries + (if (extractNoisy) 1 else 0) >= 5)
+      if (probeSpread > 1.35 || memProbeSpread > 1.5 ||
+        foreignMed > 2.0 ||
+        noisyQueries + (if (extractNoisy) 1 else 0) >= 5)
         "suspect"
       else "clean"
 
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val repsJson = results.map { case (k, _, reps) =>
+    val repsJson = results.map { case (k, _, reps, _, _) =>
       "\"" + k + "\":" + reps.map(r => f"$r%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val foreignJson = results.map { case (k, _, _, fc, _) =>
+      "\"" + k + "\":" + fc.map(r => f"$r%.1f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val probesJson = probes.map(p => f"$p%.1f").mkString("[", ",", "]")
+    val memProbesJson =
+      memProbes.map(p => f"$p%.1f").mkString("[", ",", "]")
     val extractRepsJson =
       Seq(r1._2, r2._2).map(r => f"$r%.3f").mkString("[", ",", "]")
     val failedList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -231,7 +354,7 @@ object Bench {
     // dodge the very threshold this field exists to flag
     val heapGb = (Runtime.getRuntime.maxMemory() + (1L << 29)) / (1L << 30)
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir","extract_turns":$turns%.0f,"extract_sec":$extractSec%.3f,"turns_per_sec":$turnsPerSec%.1f,"reps":$repsJson,"extract_reps":$extractRepsJson,"probe_ms":$probesJson,"probe_spread":$probeSpread%.2f,"noise":"$noise","heap_gb":$heapGb,"cpus":"$cpus","timing":"min_of_2_cold_state_reps_after_warmup_materialized_input"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir","extract_turns":$turns%.0f,"extract_sec":$extractSec%.3f,"turns_per_sec":$turnsPerSec%.1f,"reps":$repsJson,"extract_reps":$extractRepsJson,"probe_ms":$probesJson,"mem_probe_ms":$memProbesJson,"probe_spread":$probeSpread%.2f,"mem_probe_spread":$memProbeSpread%.2f,"probe_med_ms":$probeMed%.1f,"mem_probe_med_ms":$memProbeMed%.1f,"foreign_cores":$foreignJson,"foreign_cores_med":$foreignMed%.1f,"gc_sec_all_reps":$gcTotal%.1f,"noise":"$noise","heap_gb":$heapGb,"cpus":"$cpus","timing":"min_of_2_cold_state_reps_after_warmup_materialized_input"}"""
     println(json)
     // machine-readable copy: sbt's logger prefixes stdout lines, so the
     // driver's parser also gets a clean file to read. Repo-absolute (the
