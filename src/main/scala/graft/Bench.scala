@@ -83,9 +83,11 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
-  /** Memory-bound sibling of [[calibrationProbe]]: a strided sum over
-    * a 64 MB long array (far beyond LLC, stride defeats the
-    * prefetcher) whose wall time moves with DRAM-bandwidth pressure.
+  /** Memory-bound sibling of [[calibrationProbe]]: a sequential
+    * one-load-per-cacheline sum over a 64 MB long array (far beyond
+    * LLC) that the hardware prefetcher streams at memory BANDWIDTH —
+    * deliberately bandwidth-bound, not latency-bound — so its wall
+    * time moves with DRAM-bandwidth pressure.
     * The register/L1-bound CPU probe is BLIND to a co-tenant hammering
     * the memory bus — a window that uniformly inflated one round-5 run
     * 1.2× while the CPU probe read dead flat — so the noise verdict
@@ -111,30 +113,6 @@ object Bench {
     }
     probeSink = s
     (System.nanoTime() - t0) / 1e6
-  }
-
-  /** Host busy jiffies (all cores, USER_HZ=100): total minus idle and
-    * iowait from /proc/stat's first line. Paired with this process's
-    * own CPU time it yields FOREIGN cores consumed during a timed
-    * region — direct attribution of co-tenant load, the signal the
-    * single-thread probes are blind to (a neighbor on 8 of 32 logical
-    * CPUs costs a 32-thread job ~25% while a 1-thread probe reads
-    * flat). Same instrument ScalingBench's rep filter uses. */
-  private def hostBusyJiffies(): Long = {
-    val src = scala.io.Source.fromFile("/proc/stat")
-    try {
-      val v = src.getLines().next().split("\\s+").drop(1).map(_.toLong)
-      v.sum - v(3) - v(4)
-    } finally src.close()
-  }
-  private lazy val osBean =
-    java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-
-  private def gcMillis(): Long = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-      .asScala.map(_.getCollectionTime).sum
   }
 
   def session(cpus: String): SparkSession = SparkSession.builder()
@@ -203,23 +181,30 @@ object Bench {
       // not attributable to this JVM during the timed region, in
       // cores; gcSec = this JVM's collector time inside the region
       // (GC pauses serialize the job — wall inflation with flat
-      // probes and zero foreign load is usually GC)
-      def once(): (Double, Double, Double) =
+      // probes and zero foreign load is usually GC). Attribution is
+      // BEST-EFFORT via HostProbe: a missing /proc/stat degrades it
+      // to 0, never fails the rep; a FAILED rep reports NaN foreign
+      // so the verdict's median sees only measured values.
+      def once(): (Double, Double, Double) = {
         try {
           graft.functions.Dedup.releaseCaches()
           spark.sharedState.cacheManager.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
-          val b0 = hostBusyJiffies()
-          val my0 = osBean.getProcessCpuTime
-          val g0 = gcMillis()
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          val wall = (System.nanoTime() - t0) / 1e9
-          val mySec = (osBean.getProcessCpuTime - my0) / 1e9
-          val other = ((hostBusyJiffies() - b0) / 100.0 - mySec) / wall
-          (wall, math.max(0.0, other), (gcMillis() - g0) / 1e3)
-        } catch { case _: Throwable => (-1.0, 0.0, 0.0) }
+        } catch { case _: Throwable => () }
+        val b0 = HostProbe.busyJiffies()
+        val my0 = HostProbe.processCpuNanos()
+        val g0 = HostProbe.gcMillis()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (!ok) (-1.0, Double.NaN, 0.0)
+        else (wall,
+          HostProbe.foreignCores(b0, HostProbe.busyJiffies(),
+            my0, HostProbe.processCpuNanos(), wall),
+          (HostProbe.gcMillis() - g0) / 1e3)
+      }
       // one sample of each probe per query, taken right before its
       // reps: the series index the load timeline onto the query
       // timeline — CPU probe for scheduler/frequency pressure, memory
@@ -258,8 +243,8 @@ object Bench {
     // warmup pass so the number reflects steady state, not
     // first-action JIT.
     val nConvs =
-      if (new java.io.File(sfDir).getName.contains("0.001")) 50
-      else if (new java.io.File(sfDir).getName.contains("0.01")) 500
+      if (TrainingQueries.sfBaseName(sfDir).contains("0.001")) 50
+      else if (TrainingQueries.sfBaseName(sfDir).contains("0.01")) 500
       else 30000
     // the queries leave persisted dedup relations AND the cluster
     // queries' result-backing localCheckpoint blocks in the block
@@ -315,7 +300,7 @@ object Bench {
     // cores for the whole run (both probes read flat through exactly
     // that window; a 32-thread job still loses the occupied capacity)
     val allForeign = results.flatMap { case (_, t, _, fc, _) =>
-      if (t >= 0) fc else Nil }
+      if (t >= 0) fc.filterNot(_.isNaN) else Nil }
     val gcTotal = results.flatMap { case (_, t, _, _, gcs) =>
       if (t >= 0) gcs else Nil }.sum
     val foreignMed =
@@ -335,7 +320,8 @@ object Bench {
       "\"" + k + "\":" + reps.map(r => f"$r%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val foreignJson = results.map { case (k, _, _, fc, _) =>
-      "\"" + k + "\":" + fc.map(r => f"$r%.1f").mkString("[", ",", "]")
+      "\"" + k + "\":" + fc.map(r =>
+        if (r.isNaN) "-1" else f"$r%.1f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val probesJson = probes.map(p => f"$p%.1f").mkString("[", ",", "]")
     val memProbesJson =

@@ -69,32 +69,20 @@ object ScalingBench {
 
       // noise rejection: the host is shared — discard reps where CPU
       // not attributable to this JVM exceeds half a core
-      def hostBusyJiffies(): (Long, Long) = {
-        val f = scala.io.Source.fromFile("/proc/stat")
-        try {
-          val v = f.getLines().next().split("\\s+").drop(1).map(_.toLong)
-          (v.sum - v(3) - v(4), v.sum)
-        } finally f.close()
-      }
-      val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-      def gcMillis(): Long = {
-        import scala.jdk.CollectionConverters._
-        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-          .asScala.map(_.getCollectionTime).sum
-      }
+      // host attribution shared with Bench via HostProbe
       def measured(): Option[(Double, Double, Double)] = {
-        val (b0, _) = hostBusyJiffies()
-        val my0 = osBean.getProcessCpuTime
-        val g0 = gcMillis()
+        val b0 = HostProbe.busyJiffies()
+        val my0 = HostProbe.processCpuNanos()
+        val g0 = HostProbe.gcMillis()
         taskSec.set(0L)
         val t0 = System.nanoTime()
         val r = once()
         val wall = (System.nanoTime() - t0) / 1e9
-        val (b1, _) = hostBusyJiffies()
-        val mySec = (osBean.getProcessCpuTime - my0) / 1e9
-        val gcSec = (gcMillis() - g0) / 1e3
-        val otherCores = ((b1 - b0) / 100.0 - mySec) / wall
+        val my1 = HostProbe.processCpuNanos()
+        val mySec = (my1 - my0) / 1e9
+        val gcSec = (HostProbe.gcMillis() - g0) / 1e3
+        val otherCores = HostProbe.foreignCores(b0, HostProbe.busyJiffies(),
+          my0, my1, wall)
         Thread.sleep(200) // let onTaskEnd events drain
         // per-rep attribution: how many cores the job actually used and
         // how much of the window went to GC — the 16→32 diagnosis data

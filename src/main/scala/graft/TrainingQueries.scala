@@ -24,8 +24,11 @@ object TrainingQueries {
     * `/data/v0.1/repo` and silently flip every fixture-scoped query to
     * the wrong slice while the (events-count-keyed) oracles stay put.
     * ("sf0.01"/"sf0.001" do not contain the substring "0.1".) */
+  private[graft] def sfBaseName(dir: String): String =
+    new java.io.File(dir).getName
+
   private[graft] def isSf01(dir: String): Boolean =
-    new java.io.File(dir).getName.contains("0.1")
+    sfBaseName(dir).contains("0.1")
 
   private val K = 16 // minhash signature size
   private val R = 4  // rows per LSH band

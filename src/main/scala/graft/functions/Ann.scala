@@ -198,14 +198,20 @@ object Ann {
   def annRecall(df: DataFrame, vecCol: String, idCol: String,
       queryPred: Column, k: Int, nPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    // queryPred evaluates while the caller's full column set is still
-    // in scope (the documented contract — it may reference any df
-    // column), staged as a boolean INTO the persisted relation so the
-    // query-set selection costs no second corpus scan (the single-scan
-    // invariant PlanInvariantsSpec enforces)
+    // queryPred evaluates FIRST, while the caller's full, untouched
+    // column set is in scope (the documented contract — it may
+    // reference any df column), then everything but (id, vec, flag)
+    // projects away BEFORE the vn/bkt staging columns are added — so
+    // staging can never clobber a caller column the predicate reads
+    // (the requireNoStagingCols discipline), and the flag rides the
+    // persisted relation so query-set selection costs no second corpus
+    // scan (the PlanInvariantsSpec single-scan invariant).
+    require(!df.columns.contains("_q_sel"),
+      "input already has reserved staging column _q_sel")
+    val pre = df.withColumn("_q_sel", queryPred)
+      .select(col(idCol), col(vecCol), col("_q_sel"))
     val base = Dedup.trackPersisted(
-      withLshBucket(withNormalized(df, vecCol, "vn"), vecCol, planes, "bkt")
-        .withColumn("_q_sel", queryPred)
+      withLshBucket(withNormalized(pre, vecCol, "vn"), vecCol, planes, "bkt")
         .select(col(idCol), col("vn"), col("bkt"), col("_q_sel"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val qrows = base.filter(col("_q_sel"))

@@ -81,27 +81,27 @@ object StreamingExtraction {
       // SURROGATE key from their natural identity (conv_id, turn_idx):
       // two distinct null-text turns can never share it, while a true
       // re-delivery of the same turn still collapses — exactly the
-      // batch late-data policy's keyed dedupe. The colon-separated
-      // "nulltext:"/"nullconv:" forms cannot collide with a 32-hex
-      // md5. A NULL conv_id leaves (conv_id, turn_idx) with no
-      // distinguishing identity at all — two unrelated null-conv turns
-      // at the same index would share ANY key built from those two
-      // fields (null-marker tricks included) and one would be silently
-      // dropped (pinned by the streaming spec). Such rows therefore
-      // degrade to FULL-ROW identity (every remaining field,
-      // NUL-marked so concat_ws cannot skip a null into an alias):
-      // distinct rows never collapse, and only an exact re-delivery —
-      // all fields equal — still dedupes.
+      // batch late-data policy's keyed dedupe. The surrogate is the
+      // JSON encoding of the key struct — NOT a separator-joined
+      // concat: concat_ws both skips nulls (a null turn_idx would
+      // alias ("a:1", null) with ("a", 1)) and cannot survive the
+      // separator appearing INSIDE a free-form value (role/tool), both
+      // of which silently collapse distinct rows; to_json escapes
+      // values and drops null fields by KEY, so no two distinct
+      // structs share an encoding. "nt:"/"nc:" prefixes cannot collide
+      // with a 32-hex md5. A NULL conv_id leaves (conv_id, turn_idx)
+      // with no distinguishing identity at all — two unrelated
+      // null-conv turns at the same index would share ANY key built
+      // from those two fields (pinned by the streaming spec) — so such
+      // rows degrade to FULL-ROW identity: distinct rows never
+      // collapse, and only an exact re-delivery still dedupes.
       .withColumn("fp", coalesce(
         md5(graft.functions.TextFunctions.normText(col("text"))),
         when(col("conv_id").isNotNull,
-          concat_ws(":", lit("nulltext"), col("conv_id"),
-            col("turn_idx").cast("string"))),
-        concat_ws(":", lit("nullconv"),
-          coalesce(col("turn_idx").cast("string"), lit("\u0000")),
-          coalesce(col("role"), lit("\u0000")),
-          coalesce(col("tool"), lit("\u0000")),
-          coalesce(col("ts").cast("string"), lit("\u0000")))))
+          concat(lit("nt:"),
+            to_json(struct(col("conv_id"), col("turn_idx"))))),
+        concat(lit("nc:"), to_json(struct(col("turn_idx"), col("role"),
+          col("tool"), col("ts"))))))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
       // the fingerprint is dedup state, not output: keep the caller's
