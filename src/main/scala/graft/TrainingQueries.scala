@@ -252,6 +252,34 @@ object TrainingQueries {
       Ann.lshTopK(embs(s, dir), "embedding", "vec_id",
         queryVec(s, dir), 10)),
 
+    // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    // at web-scale through semantic deduplication"): the EMBEDDING-
+    // space dedup endpoint — k-means coarse cells (the IVF quantizer
+    // at its ⌈√N⌉ dial) act as semantic clusters, near-identical pairs
+    // are found ONLY within a cell (cosine ≥ 0.95 on the
+    // 4-decimal-rounded dot), transitive closure keeps one doc per
+    // component (min id), everything else lands on the drop list.
+    // Scale shape: the cell assignment is one broadcast-centroid
+    // projection; the within-cell self-join is bucket-local and
+    // occupancy-capped (the 100 TB bound that keeps a hot cell from
+    // going O(n²)); clusters resolve by the same min-label propagation
+    // as q50. Both sides plant exact duplicate vectors (cosine 1.0)
+    // for every 25th embedding under id+500000, so the drop list has
+    // guaranteed content at any sf.
+    "q69_semdedup" -> ((s, dir) => {
+      val e0 = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val aug = e0.unionByName(e0.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding")))
+      val nc = math.ceil(math.sqrt(aug.count().toDouble)).toInt
+      val cents = Ann.ivfCentroids(aug, "embedding", "vec_id", nc)
+      val celled = Ann.withIvfCell(aug, "embedding", cents, "cell")
+      val pairs = Dedup.embeddingNearDups(celled, "embedding", "vec_id",
+        "cell", threshold = 0.95)
+      Dedup.dupClusters(pairs, "a", "b")
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("drop_id"))
+    }),
+
     "q38_ivf_ann" -> ((s, dir) =>
       Ann.ivfTopK(embs(s, dir), "embedding", "vec_id",
         queryVec(s, dir), 10)),
@@ -1202,6 +1230,48 @@ object TrainingQueries {
          |  floor(coalesce(c, 0)::DOUBLE / 10 * 10000 + 0.5) / 10000 AS recall
          |FROM (SELECT DISTINCT qid FROM q) qs
          |LEFT JOIN hits USING (qid)""".stripMargin,
+
+    "q69_semdedup" ->
+      s"""WITH RECURSIVE aug AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 500000, embedding::DOUBLE[] FROM embeddings
+         |  WHERE vec_id % 25 = 0),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx, e AS c
+         |  FROM (SELECT * FROM aug ORDER BY vec_id
+         |        LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+         |               FROM aug))),
+         |d0 AS (
+         |  SELECT a.vec_id, c.cidx, ${l2sqSql("a.e", "c.c")} AS dist
+         |  FROM aug a, cents c),
+         |cell AS (
+         |  SELECT vec_id, cidx AS cell FROM (
+         |    SELECT vec_id, cidx,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY dist, cidx) AS rn
+         |    FROM d0) WHERE rn = 1),
+         |nv AS (
+         |  SELECT a.vec_id, cell.cell, $NormE AS v
+         |  FROM aug a JOIN cell ON cell.vec_id = a.vec_id),
+         |ok AS (SELECT cell FROM cell GROUP BY cell
+         |       HAVING count(*) BETWEEN 2 AND ${Dedup.MaxEmbBucketForPairs}),
+         |jp AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b
+         |  FROM nv l JOIN ok USING (cell)
+         |  JOIN nv r ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |  WHERE floor(list_dot_product(l.v, r.v) * 10000 + 0.5) / 10000
+         |        >= 0.95),
+         |sym AS (SELECT a AS src, b AS dst FROM jp
+         |        UNION SELECT b, a FROM jp),
+         |reach AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT id AS drop_id FROM (
+         |  SELECT src AS id, least(src, min(dst)) AS cluster
+         |  FROM reach GROUP BY src)
+         |WHERE id <> cluster""".stripMargin,
 
     "q38_ivf_ann" -> ivfSql("16"),
 
