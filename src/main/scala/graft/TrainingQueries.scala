@@ -253,24 +253,36 @@ object TrainingQueries {
         queryVec(s, dir), 10)),
 
     // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
-    // at web-scale through semantic deduplication"): the EMBEDDING-
-    // space dedup endpoint — k-means coarse cells (the IVF quantizer
-    // at its ⌈√N⌉ dial) act as semantic clusters, near-identical pairs
-    // are found ONLY within a cell (cosine ≥ 0.95 on the
-    // 4-decimal-rounded dot), transitive closure keeps one doc per
-    // component (min id), everything else lands on the drop list.
-    // Scale shape: the cell assignment is one broadcast-centroid
-    // projection; the within-cell self-join is bucket-local and
-    // occupancy-capped (the 100 TB bound that keeps a hot cell from
-    // going O(n²)); clusters resolve by the same min-label propagation
-    // as q50. Both sides plant exact duplicate vectors (cosine 1.0)
-    // for every 25th embedding under id+500000, so the drop list has
-    // guaranteed content at any sf.
+    // at web-scale through semantic deduplication") — the variant with
+    // a DETERMINISTIC coarse quantizer: the IVF seed-sample cells
+    // (lowest-id vectors, no Lloyd step — the paper uses k-means; the
+    // bit-deterministic ivfRefine of q52/q65 could slot in, but the
+    // oracle pins the seed-sample form) act as semantic clusters,
+    // near-identical pairs are found ONLY within a cell (cosine ≥ 0.95
+    // on the 4-decimal-rounded dot), transitive closure keeps one doc
+    // per component (min id), everything else lands on the drop list.
+    // Scale shape: the cell count is max(⌈√N⌉, ⌈N/128⌉), so EXPECTED
+    // occupancy stays ≤ ~128 at any N — under the 256 occupancy cap,
+    // which otherwise would silently drop every cell (and the planted
+    // signal with them) once √N outgrew it; cell assignment is one
+    // broadcast-centroid projection; the within-cell self-join is
+    // bucket-local and capped; clusters resolve by the same min-label
+    // propagation as q50; the embeddings scan exactly once (persisted
+    // base feeds the count, the centroid collect, and the pipeline).
+    // Both sides plant exact duplicate vectors (cosine 1.0) for every
+    // 25th embedding under id+500000 (fail-fast if real ids ever reach
+    // that range — a collision would silently diverge the two engines'
+    // cell assignments).
     "q69_semdedup" -> ((s, dir) => {
-      val e0 = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val e0 = Dedup.trackPersisted(
+        embs(s, dir).select(col("vec_id"), col("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      require(e0.agg(max(col("vec_id"))).head().getLong(0) < 500000L,
+        "q69 planted-id offset collides with real vec_ids")
       val aug = e0.unionByName(e0.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 500000).as("vec_id"), col("embedding")))
-      val nc = math.ceil(math.sqrt(aug.count().toDouble)).toInt
+      val n = aug.count().toDouble
+      val nc = math.max(math.ceil(math.sqrt(n)), math.ceil(n / 128)).toInt
       val cents = Ann.ivfCentroids(aug, "embedding", "vec_id", nc)
       val celled = Ann.withIvfCell(aug, "embedding", cents, "cell")
       val pairs = Dedup.embeddingNearDups(celled, "embedding", "vec_id",
@@ -1240,8 +1252,8 @@ object TrainingQueries {
          |cents AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx, e AS c
          |  FROM (SELECT * FROM aug ORDER BY vec_id
-         |        LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
-         |               FROM aug))),
+         |        LIMIT (SELECT CAST(greatest(ceil(sqrt(count(*))),
+         |               ceil(count(*) / 128.0)) AS BIGINT) FROM aug))),
          |d0 AS (
          |  SELECT a.vec_id, c.cidx, ${l2sqSql("a.e", "c.c")} AS dist
          |  FROM aug a, cents c),
