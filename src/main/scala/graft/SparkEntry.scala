@@ -252,6 +252,53 @@ object SparkEntry {
           max(col("ts")).cast("string").as("sess_end"))
     }),
 
+    // AS-OF JOIN — each click joins the LATEST prior purchase of the
+    // same user (inclusive backward semantics): the temporal-join
+    // operator Spark lacks natively, planned as union-tag + ONE window
+    // pass (one shuffle on user_id, one per-key sort — see
+    // Relational.asofJoin) instead of the nested-loop argmax Catalyst
+    // would pick for the inequality formulation. The right side is
+    // deduped to one row per (user, ts) via max_by, making the match
+    // deterministic under timestamp ties.
+    "q70_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("uid"), col("ts"),
+          col("event_id").as("id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("uid"), col("ts").as("pts"))
+        .agg(max(col("event_id")).as("pid"),
+          expr("max_by(value, event_id)").as("pval"))
+      graft.functions.Relational.asofJoin(clicks, purch, "uid", "ts", "pts")
+        .select(col("id"), col("uid"),
+          col("ts").cast("string").as("ts_s"),
+          col("asof_pts").cast("string").as("asof_ts_s"),
+          col("asof_pid"), col("asof_pval"))
+    }),
+
+    // RANGE (interval) JOIN — clicks landing inside the 1-hour window
+    // after each purchase by the same user. The containment predicate
+    // is planned as an EQUI-join on (user, hour-bin) — intervals
+    // explode to their ≤2 covered bins, points hash to one — with the
+    // range filter applied bucket-locally (Relational.rangeJoinBinned),
+    // instead of the BroadcastNestedLoop a raw inequality join plans.
+    "q71_range_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("uid"),
+          col("ts").as("pts"))
+        .withColumn("pend", col("pts") + expr("INTERVAL 1 HOUR"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("uid"), col("ts").as("cts"))
+      val counts = graft.functions.Relational
+        .rangeJoinBinned(purch, clicks, "uid", "pts", "pend", "cts", 3600L)
+        .groupBy(col("pid")).agg(count(lit(1)).as("n_clicks"))
+      purch.join(counts, Seq("pid"), "left")
+        .select(col("pid"), col("uid"),
+          col("pts").cast("string").as("pts_s"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+    }),
+
     // North star X1 — full extraction pipeline over the deterministic
     // synthetic transcript table (no SQL oracle: correctness is pinned
     // by golden-equality specs in ExtractionJobSpec/GeneratorGoldenSpec)
@@ -430,6 +477,38 @@ object SparkEntry {
         |FROM read_parquet('${graft.RepoRoot.fixtures}/golden_extract_multi.parquet')
         |WHERE n_convs = (SELECT CASE WHEN count(*) >= 100000 THEN 1000
         |                 ELSE 200 END FROM events)
-        |GROUP BY payload_kind""".stripMargin
+        |GROUP BY payload_kind""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for the union-tag +
+    // window as-of implementation (inclusive <= via c.ts >= p.pts)
+    "q70_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS id, user_id AS uid, ts
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id AS uid, ts AS pts, max(event_id) AS pid,
+        |         max_by(value, event_id) AS pval
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.id, c.uid, CAST(c.ts AS VARCHAR) AS ts_s,
+        |       CAST(p.pts AS VARCHAR) AS asof_ts_s,
+        |       p.pid AS asof_pid, p.pval AS asof_pval
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.uid = p.uid AND c.ts >= p.pts""".stripMargin,
+
+    // plain inequality join — DuckDB plans it fine at oracle scale; the
+    // Spark side must NOT (that is the operator under test)
+    "q71_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS pid, user_id AS uid, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS uid, ts AS cts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.pid, p.uid, CAST(p.pts AS VARCHAR) AS pts_s,
+        |       count(c.cts) AS n_clicks
+        |FROM p LEFT JOIN c
+        |  ON c.uid = p.uid AND c.cts >= p.pts
+        | AND c.cts < p.pts + INTERVAL 1 HOUR
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 }

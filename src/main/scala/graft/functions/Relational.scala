@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Relational operators Spark's built-in join strategies don't provide
+  * directly — as-of (temporal) join, interval/range join — re-expressed
+  * in the shapes that survive 100 TB:
+  *
+  *  - `asofJoin` avoids the naive `l JOIN r ON l.k = r.k AND l.t >= r.t`
+  *    + argmax formulation (a per-key cartesian within BroadcastNestedLoop
+  *    or an exploded sort-merge) by UNION-tagging both inputs and taking
+  *    one `last(_, ignoreNulls)` window pass: exactly ONE shuffle on the
+  *    key and one per-key sort — the same cost envelope as a sort-merge
+  *    join, independent of how many right rows precede each left row.
+  *
+  *  - `rangeJoinBinned` turns an inequality (interval-containment) join —
+  *    which Catalyst can only plan as a nested-loop — into an EQUI-join on
+  *    (key, time-bin): intervals explode to the ≤ `span/bin + 1` bins they
+  *    overlap, points map to exactly one bin, and the residual range
+  *    predicate filters bucket-locally after the hash join. Bin width is
+  *    the dial: ~the typical interval span keeps the explode factor ≤ 2.
+  *
+  *  - `percentileThreshold` computes an exact, engine-portable discrete
+  *    percentile per group without `percentile_approx` (whose sketch is
+  *    not reproducible across engines): rank rows per group on
+  *    (value, tiebreak) and pick the value at ⌈p·n⌉. Only the (group,
+  *    value, tiebreak) triple rides the window shuffle — callers join the
+  *    resulting tiny threshold table back by broadcast, so the payload
+  *    never enters an Exchange.
+  */
+object Relational {
+
+  /** For every left row, attach the payload of the LATEST right row of
+    * the same `key` with `right(timeCol) <= left(timeCol)` (inclusive
+    * as-of-backward semantics; left rows with no prior right row carry
+    * nulls).
+    *
+    * Contract: `right` must be unique per (key, time) — dedupe with e.g.
+    * `max_by` first, otherwise which tied right row wins is undefined.
+    * Output: all `left` columns, plus each non-key right column renamed
+    * `asof_<name>` (the right time column included, so callers can see
+    * how stale the match is).
+    *
+    * Scale shape: one Exchange on `key`, one per-key sort; the window
+    * carries left payload + one right-payload struct. A mega-key (one
+    * key owning a large fraction of all rows) serializes its sort into
+    * one task — as-of semantics need the full per-key order, so shard
+    * such keys upstream (e.g. by coarse time range) if they exist.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, leftTime: String, rightTime: String): DataFrame = {
+    val leftPayload = left.columns.filterNot(c => c == key || c == leftTime).toSeq
+    val rightCarry  = right.columns.filterNot(_ == key).toSeq // includes rightTime
+
+    def structTypeOf(df: DataFrame, cols: Seq[String]): StructType =
+      df.select(struct(cols.map(col): _*)).schema.head.dataType.asInstanceOf[StructType]
+
+    val lType = structTypeOf(left, leftPayload)
+    val rType = structTypeOf(right, rightCarry)
+
+    val lTagged = left.select(
+      col(key), col(leftTime).as("_t"), lit(1).as("_is_left"),
+      struct(leftPayload.map(col): _*).as("_l"),
+      lit(null).cast(rType).as("_r"))
+    val rTagged = right.select(
+      col(key), col(rightTime).as("_t"), lit(0).as("_is_left"),
+      lit(null).cast(lType).as("_l"),
+      struct(rightCarry.map(col): _*).as("_r"))
+
+    // Right rows sort BEFORE left rows at the same timestamp
+    // (_is_left 0 < 1), which is exactly the inclusive `<=` semantics;
+    // tied left rows all read the same carried struct (they contribute
+    // only nulls to the ignoreNulls last), so the tie order among them
+    // cannot change the result.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t"), col("_is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val out = lTagged.unionByName(rTagged)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+
+    val cols: Seq[Column] =
+      col(key) +:
+        col("_t").as(leftTime) +:
+        (leftPayload.map(c => col(s"_l.$c").as(c)) ++
+          rightCarry.map(c => col(s"_asof.$c").as(s"asof_$c")))
+    out.select(cols: _*)
+  }
+
+  /** Inner interval-containment join: every (interval, point) pair of the
+    * same `key` with `point(pTime) ∈ [start, end)`, planned as a hash
+    * equi-join on (key, bin(time)) instead of a nested loop. `binSec`
+    * should be on the order of the typical interval span (explode factor
+    * = span/bin + 1). Column names of `intervals` and `points` must not
+    * collide apart from `key`.
+    */
+  def rangeJoinBinned(intervals: DataFrame, points: DataFrame, key: String,
+                      startCol: String, endCol: String, pTime: String,
+                      binSec: Long): DataFrame = {
+    // TIMESTAMP_NTZ has no direct cast to BIGINT; routing through
+    // TIMESTAMP is epoch-exact under the engine's pinned UTC session tz.
+    def epochBin(c: String) = expr(s"cast(cast($c as timestamp) as long) div $binSec")
+    val iBinned = intervals.withColumn("_bin",
+      explode(sequence(epochBin(startCol), epochBin(endCol))))
+    val pBinned = points.withColumn("_bin", epochBin(pTime))
+    iBinned.join(pBinned, Seq(key, "_bin"))
+      .filter(col(pTime) >= col(startCol) && col(pTime) < col(endCol))
+      .drop("_bin")
+  }
+
+  /** Exact discrete p-quantile of `valCol` per `groupCol`: the value at
+    * rank ⌈p·n⌉ in (value, tiebreak) ascending order — deterministic for
+    * any tie pattern (tied values at the boundary all carry the same
+    * value), reproducible in ANSI SQL. Returns (groupCol, threshold).
+    */
+  def percentileThreshold(df: DataFrame, groupCol: String, valCol: String,
+                          tiebreak: String, p: Double): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol), col(tiebreak))
+    df.select(col(groupCol), col(valCol), col(tiebreak))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("_rn") === ceil(lit(p) * col("_n")).cast("int"))
+      .select(col(groupCol), col(valCol).as("threshold"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit pins for the Relational operator family (as-of join, binned
+  * range join, exact percentile thresholds) on hand-computed inputs —
+  * the corpus-scale behavior is oracle-checked by q70/q71/q74.
+  */
+class RelationalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at or before each left time") {
+    val left = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 1L),
+      ("u1", ts("2024-01-01 12:00:00"), 2L),
+      ("u1", ts("2024-01-01 09:00:00"), 3L), // before any right row
+      ("u2", ts("2024-01-01 10:00:00"), 4L)  // key with no right rows
+    ).toDF("uid", "ts", "id")
+    val right = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), "r_a"), // exactly at left #1 → inclusive
+      ("u1", ts("2024-01-01 11:30:00"), "r_b")
+    ).toDF("uid", "pts", "tag")
+
+    val out = Relational.asofJoin(left, right, "uid", "ts", "pts")
+      .select($"id", $"asof_tag").as[(Long, Option[String])]
+      .collect().toMap
+
+    assert(out(1L).contains("r_a")) // tie at 10:00 matches inclusively
+    assert(out(2L).contains("r_b")) // latest of the two prior rows
+    assert(out(3L).isEmpty)         // nothing at or before 09:00
+    assert(out(4L).isEmpty)         // key absent from right
+  }
+
+  test("asofJoin carries every right payload column and the right time") {
+    val left = Seq(("k", ts("2024-01-01 10:00:00"), 1L)).toDF("k", "t", "id")
+    val right = Seq(("k", ts("2024-01-01 09:00:00"), 7L, 2.5))
+      .toDF("k", "rt", "rid", "rv")
+    val row = Relational.asofJoin(left, right, "k", "t", "rt")
+      .select($"asof_rid", $"asof_rv", $"asof_rt").head()
+    assert(row.getLong(0) == 7L)
+    assert(row.getDouble(1) == 2.5)
+    assert(row.getTimestamp(2) == ts("2024-01-01 09:00:00"))
+  }
+
+  test("rangeJoinBinned matches the brute-force inequality join") {
+    val r = new scala.util.Random(42)
+    val intervals = (0 until 50).map { i =>
+      val start = 1000L + r.nextInt(5000)
+      ("u" + (i % 5), i.toLong, start, start + 600L) // 10-min windows
+    }
+    val points = (0 until 400).map { i =>
+      ("u" + (i % 7), 1000L + r.nextInt(6000), i.toLong)
+    }
+    val iDf = intervals.toDF("uid", "iid", "s", "e")
+      .select($"uid", $"iid", $"s".cast("timestamp").as("s"),
+        $"e".cast("timestamp").as("e"))
+    val pDf = points.toDF("uid", "pt", "pid")
+      .select($"uid", $"pt".cast("timestamp").as("pt"), $"pid")
+
+    val got = Relational.rangeJoinBinned(iDf, pDf, "uid", "s", "e", "pt", 600L)
+      .select($"iid", $"pid").as[(Long, Long)].collect().toSet
+
+    val want = (for {
+      (iu, iid, s, e) <- intervals
+      (pu, pt, pid) <- points
+      if pu == iu && pt >= s && pt < e
+    } yield (iid, pid)).toSet
+
+    assert(got == want)
+    assert(want.nonEmpty) // the fixture actually exercises matches
+  }
+
+  test("rangeJoinBinned spans bins when the interval crosses a boundary") {
+    val iDf = Seq(("k", 1L, 550L, 1150L)).toDF("uid", "iid", "s", "e")
+      .select($"uid", $"iid", $"s".cast("timestamp").as("s"),
+        $"e".cast("timestamp").as("e"))
+    // points in bin 0, bin 1 (two different positions), and out of range
+    val pDf = Seq(("k", 560L, 10L), ("k", 700L, 11L), ("k", 1100L, 12L),
+      ("k", 1200L, 13L), ("k", 500L, 14L))
+      .toDF("uid", "pt", "pid")
+      .select($"uid", $"pt".cast("timestamp").as("pt"), $"pid")
+    val got = Relational.rangeJoinBinned(iDf, pDf, "uid", "s", "e", "pt", 600L)
+      .select($"pid").as[Long].collect().toSet
+    assert(got == Set(10L, 11L, 12L))
+  }
+
+  test("percentileThreshold = value at rank ceil(p*n), per group") {
+    val df = (1 to 10).map(i => ("g1", i.toDouble, i.toLong)) ++
+      Seq(("g2", 5.0, 100L), ("g2", 7.0, 101L), ("g2", 9.0, 102L))
+    val out = Relational
+      .percentileThreshold(df.toDF("g", "v", "id"), "g", "v", "id", 0.75)
+      .as[(String, Double)].collect().toMap
+    assert(out("g1") == 8.0) // ceil(0.75*10)=8 → 8th smallest
+    assert(out("g2") == 9.0) // ceil(0.75*3)=3 → 3rd smallest
+  }
+
+  test("percentileThreshold is deterministic under heavy ties") {
+    val df = Seq.tabulate(8)(i => ("g", 1.0, i.toLong))
+      .toDF("g", "v", "id")
+    val out = Relational.percentileThreshold(df, "g", "v", "id", 0.5)
+      .as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("g", 1.0)))
+  }
+}
