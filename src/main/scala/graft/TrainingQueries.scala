@@ -416,6 +416,26 @@ object TrainingQueries {
         .distinct()
     }),
 
+    // PERCENTILE quality gate (the FineWeb/CCNet "keep the top decile
+    // per language" selection rule): an exact per-language p90 quality
+    // threshold via Relational.percentileThreshold — rank-based, so it
+    // reproduces in ANSI SQL, unlike percentile_approx's sketch. Scale
+    // shape: only (lang, q, doc_id) rides the window shuffle — the
+    // payload never enters an Exchange — and the resulting per-language
+    // threshold table (one row per language) broadcasts back onto the
+    // corpus, so the gate itself is a map-side filter. q is the q22
+    // score, floor-quantized to 4 decimals on BOTH sides, so the
+    // boundary compare is IEEE-exact.
+    "q72_percentile_gate" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val thr = graft.functions.Relational
+        .percentileThreshold(scored, "lang", "q", "doc_id", 0.9)
+      scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("q") >= col("threshold"))
+        .select(col("doc_id"), col("lang"), col("q"), col("threshold"))
+    }),
+
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
     // scores each doc by its mean token surprisal −ln(cnt/total). The
@@ -907,6 +927,23 @@ object TrainingQueries {
 
     "q22_quality_score" ->
       s"SELECT doc_id, $qualitySql AS q FROM documents",
+
+    // rank-based exact p90: the value at rank ceil(0.9*n) per language
+    // in (q, doc_id) order — the same ceil over the same IEEE double
+    // product on both engines, so the boundary row is identical
+    "q72_percentile_gate" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, $qualitySql AS q FROM documents),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM scored),
+         |thr AS (
+         |  SELECT lang, q AS threshold FROM ranked
+         |  WHERE rn = CAST(ceil(0.9 * n) AS INT))
+         |SELECT s.doc_id, s.lang, s.q, t.threshold
+         |FROM scored s JOIN thr t USING (lang)
+         |WHERE s.q >= t.threshold""".stripMargin,
 
     "q23_fingerprint" ->
       s"SELECT doc_id, substr(md5($NORM), 1, 16) AS fp FROM documents",

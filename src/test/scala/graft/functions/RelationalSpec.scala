@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Unit pins for the Relational operator family (as-of join, binned
   * range join, exact percentile thresholds) on hand-computed inputs —
-  * the corpus-scale behavior is oracle-checked by q70/q71/q74.
+  * the corpus-scale behavior is oracle-checked by q70/q71/q72.
   */
 class RelationalSpec extends SparkSpec {
 
