@@ -436,6 +436,150 @@ object TrainingQueries {
         .select(col("doc_id"), col("lang"), col("q"), col("threshold"))
     }),
 
+    // temperature-balanced multilingual sampling (the XLM-R/mT5
+    // alpha-sampling rule at alpha = 0.5): per-language keep-rate
+    // proportional to sqrt(language share), normalized so the LARGEST
+    // language keeps 100%, applied as a deterministic FNV hash gate —
+    // reproducible doc-for-doc across engines and re-runs, unlike
+    // rand() sampling. Scale shape: the language histogram is one
+    // map-side-combined agg over a pruned (doc_id, lang) scan — a
+    // handful of rows — and the rate table broadcasts back, so the
+    // gate itself is a map-side filter; no payload enters any
+    // Exchange. Exactness: n_l/n_max (both exact BIGINTs in double),
+    // sqrt (IEEE correctly rounded), *10000, floor — the identical op
+    // sequence on both engines.
+    "q73_temperature_sample" -> ((s, dir) => {
+      val base = Dedup.trackPersisted(
+        docs(s, dir).select(col("doc_id"), col("lang"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val counts = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val nmax = counts.agg(max(col("n")).as("nmax"))
+      val rates = counts.crossJoin(broadcast(nmax))
+        .select(col("lang"),
+          floor(sqrt(col("n").cast("double") / col("nmax").cast("double"))
+            * 10000).cast("long").as("rate"))
+      base
+        .select(col("doc_id"), col("lang"),
+          pmod(Expressions.fnv1a64(col("doc_id").cast("string")),
+            lit(10000L)).as("bucket"))
+        .join(broadcast(rates), Seq("lang"))
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("rate"))
+    }),
+
+    // z-order table layout: Morton-interleave a 10-bit user bucket
+    // with a 10-bit hour bucket of the events table and report
+    // per-cell (z >> 12) occupancy + min/max of both dimensions — the
+    // write-time clustering step that makes file-level min/max stats
+    // prune scans on EITHER column (Delta ZORDER / Iceberg sort-order
+    // semantics: one layout serves both "this user's history" and
+    // "this hour across users" scans). In production the key feeds
+    // repartitionByRange(z) + sortWithinPartitions at write; the
+    // cell-stats rollup here is the audit that proves locality (each
+    // cell's x/y spans are ≤64-wide slices of the 1024-wide domains).
+    // Scale shape: the key is a pure codegen'd integer projection; the
+    // only Exchange carries (cell, x, y) — ≤ 256 distinct cells out.
+    "q74_zorder_layout" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      val x = pmod(col("user_id"), lit(1024L))
+      val y = pmod(expr("cast(cast(ts as timestamp) as long) div 3600"),
+        lit(1024L))
+      ev.select(x.as("x"), y.as("y"))
+        .withColumn("z", graft.functions.Relational
+          .morton16(col("x"), col("y")))
+        .withColumn("cell", shiftright(col("z"), 12))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    }),
+
+    // one-pass binned quantile (the 100 TB alternative to q72's exact
+    // rank percentile, which needs a full per-language sort of every
+    // score): quality scores land in 1024 fixed bins, the per-
+    // (lang, bin) histogram is one map-side-combined agg, and the p90
+    // bin is read off the cumulative histogram — at most 1024 rows per
+    // language ever enter the window, independent of corpus size.
+    // Deterministic: the binning floor() runs over the already
+    // 4-decimal-quantized q22 score, and the reported threshold is
+    // bin/1024 — a power-of-two division, IEEE-exact.
+    "q75_histogram_quantile" -> ((s, dir) =>
+      graft.functions.Relational.histogramQuantile(
+        docs(s, dir).filter(col("text").isNotNull)
+          .select(col("lang"),
+            TextFunctions.qualityScore(col("text")).as("q")),
+        "lang", "q", 0.9, 1024)
+        .select(col("lang"), col("n").as("n_docs"),
+          col("bin").as("p90_bin"), col("threshold"))),
+
+    // per-doc top-3 TF-IDF terms — the classic salient-term extractor
+    // (topic tagging / keyword indexing over a crawl). Reuses q55's
+    // scale machinery wholesale: the corpus is tokenized ONCE into a
+    // persisted (doc_id, tok, tf) relation, document frequency and the
+    // doc count derive from it, and the idf join splits into a
+    // broadcast Zipf head + a shuffle over the head-free tail.
+    // Exactness: idf quantized to 4 decimals (ln's 1-ulp caveat as
+    // q55); score = tf · idf is a SINGLE correctly-rounded double
+    // product — no cross-partition float summation anywhere; rank ties
+    // break on the token string.
+    "q76_tfidf_topterms" -> ((s, dir) => {
+      val docTok = Dedup.trackPersisted(
+        docs(s, dir)
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val dfreq = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = docTok.agg(countDistinct(col("doc_id")).as("n"))
+      val idf = dfreq.crossJoin(broadcast(nDocs))
+        .select(col("tok"), col("df"),
+          Ann.round4(log(col("n").cast("double") / col("df").cast("double")))
+            .as("idf"))
+      val head = broadcast(
+        idf.orderBy(col("df").desc, col("tok")).limit(1024)
+          .select(col("tok"), col("idf")))
+      val withHead = docTok.join(head, Seq("tok"), "left")
+      val scored = withHead.filter(col("idf").isNotNull)
+        .unionByName(withHead.filter(col("idf").isNull).drop("idf")
+          .join(idf.select(col("tok"), col("idf")), "tok"))
+        .withColumn("score", col("tf").cast("double") * col("idf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      scored
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("score"),
+          col("rnk"))
+    }),
+
+    // incremental ingestion dedup: a NEW batch checked against the
+    // fingerprint index of the EXISTING corpus — the shape a
+    // continuously-crawled corpus needs, because re-running full-corpus
+    // dedup per batch is O(corpus), while this is O(batch) plus one
+    // semi-join against a 16-byte/doc index. Corpus = docs with
+    // doc_id%3==0; batch = the rest plus planted re-crawls (every 30th
+    // corpus doc re-inserted under id+200000) so cross-hits exist at
+    // any sf. Each batch doc classifies as dup_of_corpus (fp in the
+    // index), dup_in_batch (fp first seen at a smaller batch id, not
+    // in the index), else new. Scale shape: only (fp, doc_id) rides
+    // any Exchange — the corpus side shrinks to distinct fingerprints,
+    // the in-batch keeper is groupBy(fp).min with map-side combine,
+    // and the payload never shuffles.
+    "q77_incremental_dedup" -> ((s, dir) => {
+      val d = Dedup.trackPersisted(
+        docs(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            TextFunctions.docFingerprint(col("text")).as("fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val corpus = d.filter(col("doc_id") % 3 === 0)
+      val batch = d.filter(col("doc_id") % 3 =!= 0)
+        .unionByName(corpus.filter(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("fp")))
+      Dedup.incrementalDedup(batch, corpus, "fp", "doc_id")
+    }),
+
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
     // scores each doc by its mean token surprisal −ln(cnt/total). The
@@ -944,6 +1088,98 @@ object TrainingQueries {
          |SELECT s.doc_id, s.lang, s.q, t.threshold
          |FROM scored s JOIN thr t USING (lang)
          |WHERE s.q >= t.threshold""".stripMargin,
+
+    "q73_temperature_sample" -> {
+      val bucket =
+        s"((${toSigned(fnvSql("(doc_id::VARCHAR)"))} % 10000) + 10000) % 10000"
+      s"""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |mx AS (SELECT max(n) AS nmax FROM counts),
+         |rates AS (
+         |  SELECT lang,
+         |    CAST(floor(sqrt(n::DOUBLE / nmax::DOUBLE) * 10000) AS BIGINT) AS rate
+         |  FROM counts, mx)
+         |SELECT doc_id, lang, $bucket AS bucket, rate
+         |FROM documents JOIN rates USING (lang)
+         |WHERE $bucket < rate""".stripMargin
+    },
+
+    "q74_zorder_layout" -> {
+      def spread(v: String): String = {
+        val a = s"((($v) | (($v) << 8)) & 16711935)"
+        val b = s"(($a | ($a << 4)) & 252645135)"
+        val c = s"(($b | ($b << 2)) & 858993459)"
+        s"(($c | ($c << 1)) & 1431655765)"
+      }
+      s"""WITH base AS (
+         |  SELECT ((user_id % 1024) + 1024) % 1024 AS x,
+         |    (((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 1024) + 1024)
+         |      % 1024 AS y
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |zk AS (SELECT x, y,
+         |  (${spread("x")} | (${spread("y")} << 1)) AS z FROM base)
+         |SELECT z >> 12 AS cell, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM zk GROUP BY 1""".stripMargin
+    },
+
+    "q75_histogram_quantile" ->
+      s"""WITH binned AS (
+         |  SELECT lang,
+         |    CAST(least(floor(($qualitySql) * 1024), 1023) AS INT) AS bin
+         |  FROM documents WHERE text IS NOT NULL),
+         |hist AS (SELECT lang, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+         |cums AS (
+         |  SELECT lang, bin, c,
+         |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY bin
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM hist)
+         |SELECT lang, n AS n_docs, bin AS p90_bin,
+         |  bin::DOUBLE / 1024.0 AS threshold
+         |FROM cums
+         |WHERE cum >= CAST(ceil(0.9 * n) AS BIGINT)
+         |  AND cum - c < CAST(ceil(0.9 * n) AS BIGINT)""".stripMargin,
+
+    "q76_tfidf_topterms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($TOKL) AS tok FROM documents
+         |  WHERE len(trim(text)) > 0),
+         |dt AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM dt),
+         |idf AS (
+         |  SELECT tok, floor(ln(n::DOUBLE / df::DOUBLE) * 10000 + 0.5) / 10000
+         |    AS idf
+         |  FROM dfreq, nd),
+         |scored AS (
+         |  SELECT doc_id, tok, tf, tf::DOUBLE * idf AS score
+         |  FROM dt JOIN idf USING (tok)),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, tok) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, tok, tf, score, rnk FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "q77_incremental_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, substr(md5($NORM), 1, 16) AS fp
+         |  FROM documents WHERE text IS NOT NULL),
+         |corpus AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+         |batch AS (
+         |  SELECT * FROM d WHERE doc_id % 3 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, fp FROM corpus
+         |  WHERE doc_id % 30 = 0),
+         |keeper AS (SELECT fp, min(doc_id) AS keep_id FROM batch GROUP BY fp),
+         |idx AS (SELECT DISTINCT fp FROM corpus)
+         |SELECT b.doc_id, b.fp,
+         |  CASE WHEN i.fp IS NOT NULL THEN 'dup_of_corpus'
+         |       WHEN b.doc_id <> k.keep_id THEN 'dup_in_batch'
+         |       ELSE 'new' END AS status
+         |FROM batch b
+         |JOIN keeper k USING (fp)
+         |LEFT JOIN idx i ON b.fp = i.fp""".stripMargin,
 
     "q23_fingerprint" ->
       s"SELECT doc_id, substr(md5($NORM), 1, 16) AS fp FROM documents",

@@ -154,6 +154,30 @@ object Dedup {
       .filter(col("rn") > 1)
       .select(col(idCol).as("drop_id"))
 
+  /** Incremental ingestion dedup: classify each `batch` row against the
+    * fingerprint `index` of the already-ingested corpus —
+    * `dup_of_corpus` if its fingerprint is in the index,
+    * `dup_in_batch` if the fingerprint first occurs at a smaller id
+    * within the batch (and is not in the index), else `new`. This is
+    * the continuous-crawl shape: per-batch cost is O(batch) plus one
+    * join against a 16-byte/doc index instead of a full-corpus
+    * re-dedup. Scale shape: only (fp, id) pairs ride the exchanges —
+    * the index side is distinct fingerprints, the in-batch keeper is a
+    * map-side-combined `groupBy(fp).min(id)`, and callers keep the
+    * payload out entirely (pass a pre-fingerprinted projection). */
+  def incrementalDedup(batch: DataFrame, index: DataFrame,
+                       fpCol: String, idCol: String): DataFrame = {
+    val keeper = batch.groupBy(col(fpCol)).agg(min(col(idCol)).as("_keep_id"))
+    val idx = index.select(col(fpCol)).distinct()
+      .withColumn("_in_corpus", lit(1))
+    batch.join(keeper, Seq(fpCol))
+      .join(idx, Seq(fpCol), "left")
+      .select(col(idCol), col(fpCol),
+        when(col("_in_corpus") === 1, lit("dup_of_corpus"))
+          .when(col(idCol) =!= col("_keep_id"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"))
+  }
+
   /** MinHash-LSH near-dup buckets: signature → band keys → explode →
     * group by (band, key). Returns candidate buckets holding
     * 2..maxBucket docs with their membership lists — the scale path for

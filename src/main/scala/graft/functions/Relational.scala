@@ -23,6 +23,10 @@ import org.apache.spark.sql.types.StructType
   *    predicate filters bucket-locally after the hash join. Bin width is
   *    the dial: ~the typical interval span keeps the explode factor ≤ 2.
   *
+  *  - `morton16` builds the z-order clustering key for two-dimensional
+  *    table layout (sort/range-partition by it at write time so file
+  *    min/max stats prune on either dimension).
+  *
   *  - `percentileThreshold` computes an exact, engine-portable discrete
   *    percentile per group without `percentile_approx` (whose sketch is
   *    not reproducible across engines): rank rows per group on
@@ -110,6 +114,55 @@ object Relational {
     iBinned.join(pBinned, Seq(key, "_bin"))
       .filter(col(pTime) >= col(startCol) && col(pTime) < col(endCol))
       .drop("_bin")
+  }
+
+  /** Morton (z-order) key: interleave the low 16 bits of `x` (even bit
+    * positions) and `y` (odd positions) — the multi-dimensional
+    * clustering key behind z-ordered table layouts (Delta OPTIMIZE
+    * ZORDER, Iceberg sort orders): sorting/range-partitioning by `z`
+    * co-locates rows that are close in BOTH dimensions, so per-file
+    * min/max stats prune scans on either column. Pure integer
+    * shift/mask ops over LONG — whole-stage-codegen'd, engine-portable
+    * (the classic magic-number bit spread). Inputs must be in
+    * [0, 65535]; callers bucketize first. */
+  def morton16(x: Column, y: Column): Column = {
+    def spread(v: Column): Column = {
+      val v0 = v.cast("long")
+      val a = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+      c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** One-pass binned p-quantile per `groupCol`: values (assumed in
+    * [0, 1]) land in `bins` fixed bins, the per-(group, bin) histogram
+    * aggregates with map-side combine, and the quantile bin is read off
+    * the cumulative histogram — at most `bins` rows per group ever
+    * enter the window, independent of input size. This is the 100 TB
+    * alternative to `percentileThreshold`, whose exact rank needs a
+    * full per-group sort of every value. Deterministic on both engines
+    * when `bins` is a power of two (the reported threshold bin/bins is
+    * then an IEEE-exact division). Returns
+    * (groupCol, n, bin, threshold = bin/bins). */
+  def histogramQuantile(df: DataFrame, groupCol: String, valCol: String,
+                        p: Double, bins: Int): DataFrame = {
+    val binned = df.select(col(groupCol),
+      least(floor(col(valCol) * bins), lit((bins - 1).toDouble))
+        .cast("int").as("bin"))
+    val hist = binned.groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .filter(col("cum") >= ceil(lit(p) * col("n")) &&
+        col("cum") - col("c") < ceil(lit(p) * col("n")))
+      .select(col(groupCol), col("n"), col("bin"),
+        (col("bin").cast("double") / bins).as("threshold"))
   }
 
   /** Exact discrete p-quantile of `valCol` per `groupCol`: the value at

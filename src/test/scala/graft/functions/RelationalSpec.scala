@@ -105,4 +105,51 @@ class RelationalSpec extends SparkSpec {
       .as[(String, Double)].collect()
     assert(out.toSeq == Seq(("g", 1.0)))
   }
+
+  test("morton16 interleaves bits (x even positions, y odd)") {
+    val df = Seq((3L, 5L), (65535L, 0L), (0L, 65535L), (0L, 0L),
+      (1023L, 1023L)).toDF("x", "y")
+    val got = df.select(Relational.morton16($"x", $"y")).as[Long].collect()
+    // x=3 (b011), y=5 (b101): bits x0,y0,x1,y1,x2,y2 = 1,1,1,0,0,1 → 100111b
+    assert(got(0) == 39L)
+    assert(got(1) == 0x55555555L) // all even positions
+    assert(got(2) == 0xAAAAAAAAL) // all odd positions
+    assert(got(3) == 0L)
+    assert(got(4) == (1L << 20) - 1) // 10+10 bits fill the low 20 exactly
+  }
+
+  test("morton16 cells bound both dimensions (the data-skipping claim)") {
+    // 4096 grid points; cell = z >> 12 covers a 64x64 (x, y) block, so
+    // every cell's min/max span must stay within 64 on EACH dimension.
+    val pts = for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong * 16, y.toLong * 16)
+    val stats = pts.toDF("x", "y")
+      .select($"x", $"y",
+        shiftright(Relational.morton16($"x", $"y"), 12).as("cell"))
+      .groupBy($"cell")
+      .agg(max($"x") - min($"x"), max($"y") - min($"y"))
+      .as[(Long, Long, Long)].collect()
+    assert(stats.nonEmpty)
+    assert(stats.forall { case (_, dx, dy) => dx < 64 && dy < 64 })
+  }
+
+  test("histogramQuantile reads the p90 bin off the cumulative histogram") {
+    // g1: 100 values spread over bins 0..99 (v = i/1024) → p90 at the
+    // bin holding rank 90, i.e. bin 89; g2: all mass in one bin.
+    val rows = (0 until 100).map(i => ("g1", i / 1024.0)) ++
+      Seq.fill(5)(("g2", 512.5 / 1024.0))
+    val out = Relational
+      .histogramQuantile(rows.toDF("g", "v"), "g", "v", 0.9, 1024)
+      .as[(String, Long, Int, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("g1") == ("g1", 100L, 89, 89.0 / 1024))
+    assert(out("g2") == ("g2", 5L, 512, 512.0 / 1024))
+  }
+
+  test("histogramQuantile clamps v=1.0 into the top bin") {
+    val out = Relational.histogramQuantile(
+      Seq(("g", 1.0), ("g", 1.0)).toDF("g", "v"), "g", "v", 0.9, 1024)
+      .as[(String, Long, Int, Double)].collect()
+    assert(out.toSeq == Seq(("g", 2L, 1023, 1023.0 / 1024)))
+  }
 }

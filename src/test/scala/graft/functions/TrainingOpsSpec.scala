@@ -104,4 +104,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(0L) > out(20L))
     Dedup.releaseCaches()
   }
+
+  test("incrementalDedup classifies corpus dups, batch dups, and new docs") {
+    import spark.implicits._
+    val corpus = Seq((100L, "fpA"), (101L, "fpB"), (102L, "fpB"))
+      .toDF("doc_id", "fp") // index may itself hold dup fps
+    val batch = Seq(
+      (1L, "fpA"), // in corpus → dup_of_corpus (even though batch-first)
+      (2L, "fpC"), // first of its fp in batch → new
+      (3L, "fpC"), // later same fp → dup_in_batch
+      (4L, "fpD")  // unique → new
+    ).toDF("doc_id", "fp")
+    val got = Dedup.incrementalDedup(batch, corpus, "fp", "doc_id")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> "dup_of_corpus", 2L -> "new",
+      3L -> "dup_in_batch", 4L -> "new"))
+  }
 }
