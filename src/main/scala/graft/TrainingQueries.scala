@@ -580,6 +580,72 @@ object TrainingQueries {
       Dedup.incrementalDedup(batch, corpus, "fp", "doc_id")
     }),
 
+    // PMI phrase mining (the word2vec-phrases collocation detector,
+    // Mikolov et al. 2013): score every adjacent bigram with count ≥ 5
+    // by ln(c_xy·N / (c_x·c_y)) and keep the global top 100. Scale
+    // shape: the corpus tokenizes ONCE into a persisted token relation;
+    // unigram and bigram counts are map-side-combined aggs over even
+    // (gram) keys; the two unigram joins key on the token (vocab-sized,
+    // not corpus-sized relations); top-k is TakeOrderedAndProject —
+    // nothing corpus-sized crosses an Exchange after the counts.
+    // Exactness: the PMI argument is (c_xy·N)/(c_x·c_y) computed as
+    // doubles in this exact op order on both engines (each step IEEE
+    // correctly rounded; counts ≪ 2^53 exact), ln quantized to 4
+    // decimals (q55's caveat), ties broken on the gram string.
+    "q78_pmi_phrases" -> ((s, dir) => {
+      val toks = Dedup.trackPersisted(
+        docs(s, dir)
+          .select(TextFunctions.tokens(lower(col("text"))).as("t"))
+          .filter(size(col("t")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val uni = toks.select(explode(col("t")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val nTok = uni.agg(sum(col("c")).as("n"))
+      val bi = toks
+        .select(explode(TextFunctions.ngramsFromTokens(col("t"), 2)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+        .withColumn("w1", split(col("g"), " ").getItem(0))
+        .withColumn("w2", split(col("g"), " ").getItem(1))
+      bi
+        .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(nTok))
+        .select(col("g").as("gram"), col("c_xy"),
+          Ann.round4(log(
+            (col("c_xy").cast("double") * col("n").cast("double")) /
+              (col("c1").cast("double") * col("c2").cast("double"))))
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("gram")).limit(100)
+    }),
+
+    // fixed-stride token chunking (the context-window splitter every
+    // pretraining pipeline runs before packing): each doc becomes
+    // ⌈(n−64)/48⌉+1 chunks of ≤64 tokens at stride 48 (16-token
+    // overlap), each chunk carrying its token count and an FNV
+    // fingerprint of its joined text. Scale shape: a pure codegen'd
+    // projection + explode — ZERO shuffle; chunk boundaries depend only
+    // on the row, so the operator is embarrassingly map-side at any
+    // corpus size. slice() never over-reads: the last chunk start is
+    // always < n by the ⌈·⌉ construction, and slice truncates at the
+    // array end.
+    "q79_token_chunks" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) > 0)
+        .withColumn("n", size(col("t")))
+        .withColumn("n_chunks",
+          when(col("n") <= 64, lit(1L)).otherwise(
+            ceil((col("n") - 64).cast("double") / 48.0).cast("long") + 1L))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+        .withColumn("chunk",
+          slice(col("t"), (col("chunk_id") * 48 + 1).cast("int"), lit(64)))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("n_tok"),
+          Expressions.fnv1a64(array_join(col("chunk"), " ")).as("chunk_fp"))),
+
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
     // scores each doc by its mean token surprisal −ln(cnt/total). The
@@ -1180,6 +1246,52 @@ object TrainingQueries {
          |FROM batch b
          |JOIN keeper k USING (fp)
          |LEFT JOIN idx i ON b.fp = i.fp""".stripMargin,
+
+    "q78_pmi_phrases" ->
+      s"""WITH toksrc AS (
+         |  SELECT $TOKL AS t FROM documents WHERE len(trim(text)) > 0),
+         |uc AS (
+         |  SELECT tok, count(*) AS c
+         |  FROM (SELECT unnest(t) AS tok FROM toksrc) GROUP BY tok),
+         |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+         |bc AS (
+         |  SELECT g, count(*) AS c_xy
+         |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+         |          i -> t[i] || ' ' || t[i+1])) AS g FROM toksrc)
+         |  GROUP BY g HAVING count(*) >= 5)
+         |SELECT b.g AS gram, b.c_xy,
+         |  floor(ln((b.c_xy::DOUBLE * nt.n::DOUBLE)
+         |           / (u1.c::DOUBLE * u2.c::DOUBLE)) * 10000 + 0.5) / 10000
+         |    AS pmi
+         |FROM bc b
+         |JOIN uc u1 ON split_part(b.g, ' ', 1) = u1.tok
+         |JOIN uc u2 ON split_part(b.g, ' ', 2) = u2.tok, nt
+         |ORDER BY pmi DESC, gram LIMIT 100""".stripMargin,
+
+    "q79_token_chunks" -> {
+      val fp = toSigned(fnvSql("cs"))
+      s"""WITH toksrc AS (
+         |  SELECT doc_id, $TOKL AS t FROM documents
+         |  WHERE len(trim(text)) > 0),
+         |base AS (
+         |  SELECT doc_id, t,
+         |    CASE WHEN len(t) <= 64 THEN 1
+         |         ELSE CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) + 1 END
+         |      AS n_chunks
+         |  FROM toksrc),
+         |ch AS (
+         |  SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_id
+         |  FROM base),
+         |sl AS (
+         |  SELECT doc_id, chunk_id,
+         |    list_slice(t, chunk_id * 48 + 1, chunk_id * 48 + 64) AS chunk
+         |  FROM ch),
+         |sj AS (
+         |  SELECT doc_id, chunk_id, len(chunk) AS n_tok,
+         |    array_to_string(chunk, ' ') AS cs
+         |  FROM sl)
+         |SELECT doc_id, chunk_id, n_tok, $fp AS chunk_fp FROM sj""".stripMargin
+    },
 
     "q23_fingerprint" ->
       s"SELECT doc_id, substr(md5($NORM), 1, 16) AS fp FROM documents",
