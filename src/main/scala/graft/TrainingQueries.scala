@@ -646,6 +646,27 @@ object TrainingQueries {
           size(col("chunk")).as("n_tok"),
           Expressions.fnv1a64(array_join(col("chunk"), " ")).as("chunk_fp"))),
 
+    // capped inverted-index build (the corpus-search / lookup-table
+    // primitive): token → document frequency + the 32 smallest doc_ids
+    // holding it. The posting head uses the native BoundedMinK
+    // TypedImperativeAggregate — a fixed 32-slot max-heap per group with
+    // map-side partial aggregation, so a stopword's posting group ships
+    // ONE ≤256-byte buffer per map partition across the Exchange where
+    // collect_list would buffer the entire corpus-sized group on a
+    // single reducer. Per-doc array_distinct keeps the exchange keyed
+    // on distinct (doc, token) pairs.
+    "q80_inverted_index" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokens(lower(col("text")))))
+            .as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"),
+          Expressions.boundedMinK(col("doc_id"), 32).as("p"))
+        .select(col("tok"), col("df"),
+          concat_ws(",", transform(col("p"), _.cast("string")))
+            .as("postings"))),
+
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
     // scores each doc by its mean token surprisal −ln(cnt/total). The
@@ -1292,6 +1313,15 @@ object TrainingQueries {
          |  FROM sl)
          |SELECT doc_id, chunk_id, n_tok, $fp AS chunk_fp FROM sj""".stripMargin
     },
+
+    "q80_inverted_index" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest($TOKL) AS tok FROM documents
+         |    WHERE len(trim(text)) > 0))
+         |SELECT tok, count(*) AS df,
+         |  array_to_string(list_sort(list(doc_id))[1:32], ',') AS postings
+         |FROM dt GROUP BY tok""".stripMargin,
 
     "q23_fingerprint" ->
       s"SELECT doc_id, substr(md5($NORM), 1, 16) AS fp FROM documents",

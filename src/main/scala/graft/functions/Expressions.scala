@@ -303,6 +303,109 @@ case class SniffPayload(child: Expression) extends UnaryExpression
     copy(c)
 }
 
+/** Bounded smallest-k buffer: a max-heap of the k smallest longs seen.
+  * Fixed k·8-byte footprint regardless of group size — the partial-agg
+  * buffer that makes [[BoundedMinK]] safe where `collect_list` OOMs on
+  * heavy-hitter keys (a stopword's posting group at corpus scale). */
+final class BoundedMinKBuffer(val k: Int) {
+  private val heap = new Array[Long](k)
+  var size: Int = 0
+  def add(v: Long): Unit = {
+    if (size < k) {
+      heap(size) = v; size += 1
+      var i = size - 1
+      while (i > 0 && heap((i - 1) / 2) < heap(i)) {
+        val t = heap(i); heap(i) = heap((i - 1) / 2); heap((i - 1) / 2) = t
+        i = (i - 1) / 2
+      }
+    } else if (v < heap(0)) {
+      heap(0) = v
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var m = i
+        if (l < size && heap(l) > heap(m)) m = l
+        if (r < size && heap(r) > heap(m)) m = r
+        if (m == i) done = true
+        else { val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m }
+      }
+    }
+  }
+  def element(i: Int): Long = heap(i)
+  def sortedAsc: Array[Long] = {
+    val a = java.util.Arrays.copyOf(heap, size)
+    java.util.Arrays.sort(a)
+    a
+  }
+}
+
+/** Native bounded top-k aggregate: the k SMALLEST values of a LONG
+  * column per group, returned sorted ascending — `collect_list` with a
+  * hard memory bound. The aggregation buffer is a fixed k-slot max-heap
+  * (k·8 bytes), map-side partial aggregation applies, and the shuffle
+  * carries one serialized ≤k-long buffer per (group, map partition)
+  * instead of every raw value: on a heavy-hitter group (a stopword over
+  * a 100 TB corpus) `collect_list` buffers the whole group on one task,
+  * while this stays k·8 bytes end-to-end. Deterministic output for any
+  * input order (set-of-smallest + sort). */
+case class BoundedMinK(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[BoundedMinKBuffer] {
+  import org.apache.spark.sql.types._
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires bigint input, got ${t.catalogString}")
+    }
+
+  override def createAggregationBuffer(): BoundedMinKBuffer =
+    new BoundedMinKBuffer(k)
+  override def update(b: BoundedMinKBuffer, row: InternalRow): BoundedMinKBuffer = {
+    val v = child.eval(row)
+    if (v != null) b.add(v.asInstanceOf[Long])
+    b
+  }
+  override def merge(b: BoundedMinKBuffer, o: BoundedMinKBuffer): BoundedMinKBuffer = {
+    var i = 0
+    while (i < o.size) { b.add(o.element(i)); i += 1 }
+    b
+  }
+  override def eval(b: BoundedMinKBuffer): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(b.sortedAsc)
+  override def serialize(b: BoundedMinKBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.size)
+    bb.putInt(b.size)
+    var i = 0
+    while (i < b.size) { bb.putLong(b.element(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): BoundedMinKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new BoundedMinKBuffer(k)
+    var i = 0
+    while (i < n) { b.add(bb.getLong); i += 1 }
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): BoundedMinK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedMinK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): BoundedMinK = copy(child = cs.head)
+}
+
 object Expressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -317,6 +420,8 @@ object Expressions {
     column(ExtractMainContent(expression(c)))
   def extractAll(c: Column): Column = column(ExtractAll(expression(c)))
   def sniffPayload(c: Column): Column = column(SniffPayload(expression(c)))
+  def boundedMinK(c: Column, k: Int): Column =
+    column(BoundedMinK(expression(c), k).toAggregateExpression())
 
   /** SQL registration so the expressions are usable from spark.sql. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -574,4 +574,42 @@ class DedupSpec extends SparkSpec {
     assert(n == occ.map(c => c * (c - 1) / 2).sum,
       "pairs come from capped buckets only")
   }
+
+  test("BoundedMinKBuffer keeps exactly the k smallest in sorted order") {
+    val k = 8
+    // deterministic pseudo-random insertion order (SplitMix-ish mix)
+    val vals = (0 until 500).map(i => (i * 0x9E3779B97F4A7C15L) >>> 12)
+    val b = new BoundedMinKBuffer(k)
+    vals.foreach(b.add)
+    assert(b.sortedAsc.toSeq == vals.sorted.take(k))
+    // merge path: two halves merged == one pass
+    val (l, r) = vals.splitAt(250)
+    val bl = new BoundedMinKBuffer(k); l.foreach(bl.add)
+    val br = new BoundedMinKBuffer(k); r.foreach(br.add)
+    (0 until br.size).foreach(i => bl.add(br.element(i)))
+    assert(bl.sortedAsc.toSeq == vals.sorted.take(k))
+  }
+
+  test("boundedMinK aggregates across partitions with partial agg + serde") {
+    // 16 partitions force map-side partials, serialization, and merges;
+    // group sizes straddle k (group 0 has 3 rows < k, group 1 has 300)
+    val rows = (0L until 303L).map(i =>
+      (if (i < 3) 0L else 1L, 1000L - i))
+    val df = spark.createDataFrame(rows).toDF("g", "v").repartition(16)
+    val got = df.groupBy($"g")
+      .agg(Expressions.boundedMinK($"v", 8).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got(0L) == Seq(998L, 999L, 1000L), "undersized group returns all")
+    assert(got(1L) == (698L to 705L).toSeq, "8 smallest, ascending")
+  }
+
+  test("boundedMinK skips nulls and never exceeds k") {
+    val df = spark.createDataFrame(
+      Seq((1L, Some(5L)), (1L, None), (1L, Some(2L)), (1L, Some(9L))))
+      .toDF("g", "v")
+    val got = df.groupBy($"g")
+      .agg(Expressions.boundedMinK($"v", 2).as("p"))
+      .collect().map(r => r.getSeq[Long](1).toSeq)
+    assert(got.head == Seq(2L, 5L))
+  }
 }
