@@ -118,7 +118,9 @@ object PlanAudit {
       for (q <- Seq("q27_lsh_buckets", "q30_simhash_templates",
           "q41_lsh_neardups", "q47_simhash_neardups",
           "q55_unigram_surprisal", "q64_span_dedup",
-          "q66_ann_recall", "q67_dsir_weights")) {
+          "q66_ann_recall", "q67_dsir_weights",
+          "q73_temperature_sample", "q76_tfidf_topterms",
+          "q77_incremental_dedup", "q78_pmi_phrases")) {
         spark.sharedState.cacheManager.clearCache()
         val df = SparkEntry.queries(q)(spark, dir)
         // collect() runs df's OWN QueryExecution (count() would build a
