@@ -69,7 +69,13 @@ object Relational {
       col(key), col(leftTime).as("_t"), lit(1).as("_is_left"),
       struct(leftPayload.map(col): _*).as("_l"),
       lit(null).cast(rType).as("_r"))
-    val rTagged = right.select(
+    // A NULL right time can never be "the nearest earlier event" — drop
+    // such rows up front. Without this, Spark's NULLS-FIRST ascending
+    // sort would park them at the window head and last(_r, ignoreNulls)
+    // would hand their (non-null) payload struct to every left row that
+    // has no real match — the opposite of ASOF semantics, where a NULL
+    // time matches nothing.
+    val rTagged = right.filter(col(rightTime).isNotNull).select(
       col(key), col(rightTime).as("_t"), lit(0).as("_is_left"),
       lit(null).cast(lType).as("_l"),
       struct(rightCarry.map(col): _*).as("_r"))
@@ -148,7 +154,10 @@ object Relational {
     * (groupCol, n, bin, threshold = bin/bins). */
   def histogramQuantile(df: DataFrame, groupCol: String, valCol: String,
                         p: Double, bins: Int): DataFrame = {
-    val binned = df.select(col(groupCol),
+    // NULLs out, same rationale as percentileThreshold: a NULL bin would
+    // sort to opposite ends of the cumulative histogram on Spark
+    // (NULLS FIRST) vs DuckDB (NULLS LAST), shifting every cum count.
+    val binned = df.filter(col(valCol).isNotNull).select(col(groupCol),
       least(floor(col(valCol) * bins), lit((bins - 1).toDouble))
         .cast("int").as("bin"))
     val hist = binned.groupBy(col(groupCol), col("bin"))
@@ -173,7 +182,12 @@ object Relational {
   def percentileThreshold(df: DataFrame, groupCol: String, valCol: String,
                           tiebreak: String, p: Double): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol), col(tiebreak))
-    df.select(col(groupCol), col(valCol), col(tiebreak))
+    // NULL values are excluded from the percentile population: Spark
+    // sorts NULLS FIRST and DuckDB NULLS LAST, so any NULL reaching the
+    // window would shift rank ⌈p·n⌉ differently on each engine — and a
+    // NULL is not a value a threshold can gate on anyway.
+    df.filter(col(valCol).isNotNull)
+      .select(col(groupCol), col(valCol), col(tiebreak))
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
       .filter(col("_rn") === ceil(lit(p) * col("_n")).cast("int"))
