@@ -667,6 +667,119 @@ object TrainingQueries {
           concat_ws(",", transform(col("p"), _.cast("string")))
             .as("postings"))),
 
+    // BM25 top-k retrieval (Robertson/Sparck Jones) for a fixed query —
+    // the ranking layer over the q80 index shape, and the standard
+    // quality-retrieval primitive (matching pretraining docs against a
+    // target distribution). Scale shape: the corpus tokenizes ONCE into
+    // a persisted (doc_id, tok, tf) relation; doc lengths and the
+    // corpus stats derive from it; the per-term idf/avgdl table is
+    // |query| rows and BROADCASTS, so the only corpus-sized exchange is
+    // the doc-keyed dlen join; top-k is TakeOrderedAndProject.
+    // Exactness: idf = ln((N−df+0.5)/(df+0.5)) quantized to 4 decimals
+    // (the q55 ln caveat); the tf-saturation term is IEEE + - * / in a
+    // fixed parenthesization ((1−b) folded to the 0.25 literal so both
+    // engines run the identical op sequence); each term's contribution
+    // is a single correctly-rounded product, quantized to DECIMAL(18,4)
+    // and summed exactly across the ≤3 query terms.
+    "q81_bm25_topk" -> ((s, dir) => {
+      val qTerms = Seq("spark", "merge", "vector")
+      val docTok = Dedup.trackPersisted(
+        docs(s, dir)
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val dlen = docTok.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = dlen.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      val idf = broadcast(
+        docTok.filter(col("tok").isin(qTerms: _*))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("tok"),
+            Ann.round4(log(
+              (col("n").cast("double") - col("df").cast("double") + 0.5) /
+                (col("df").cast("double") + 0.5))).as("idf"),
+            (col("sumdl").cast("double") / col("n").cast("double"))
+              .as("avgdl")))
+      docTok.filter(col("tok").isin(qTerms: _*))
+        .join(dlen, "doc_id")
+        .join(idf, "tok")
+        .select(col("doc_id"),
+          Ann.round4(col("idf") * ((col("tf").cast("double") * 2.2) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl").cast("double") / col("avgdl"))))))
+            .cast("decimal(18,4)").as("contrib"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("contrib")).cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // bigram conditional surprisal (the CCNet-style LM-filter proxy one
+    // order up from q55): per-doc mean of −ln(c_xy / c_x·) over adjacent
+    // bigram occurrences, where c_x· counts bigrams opening with the
+    // context word — a true conditional (probabilities sum to 1 per
+    // context). Scale shape: q55's machinery at bigram order — the
+    // corpus produces ONE persisted (doc_id, gram, n) relation; corpus
+    // bigram and context counts derive from it (map-side-combined aggs
+    // on even vocab-sized keys); the scored vocabulary splits into a
+    // broadcast Zipf head + a shuffle over the head-free tail.
+    // Exactness: c_xy/c_x is one exact-integer double division, ln
+    // quantized to 4 decimals, per-doc mean accumulated in DECIMAL.
+    "q82_bigram_surprisal" -> ((s, dir) => {
+      val docBig = Dedup.trackPersisted(
+        docs(s, dir)
+          .select(col("doc_id"),
+            TextFunctions.tokens(lower(col("text"))).as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"),
+            explode(TextFunctions.ngramsFromTokens(col("t"), 2)).as("g"))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cxy = docBig.groupBy(col("g")).agg(sum(col("n")).as("c_xy"))
+        .withColumn("w1", split(col("g"), " ").getItem(0))
+      val cx = cxy.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+      val surp = cxy.join(cx, "w1")
+        .select(col("g"), col("c_xy"),
+          Ann.round4(-log(col("c_xy").cast("double") /
+            col("c_x").cast("double"))).cast("decimal(18,4)").as("surp"))
+      val head = broadcast(
+        surp.orderBy(col("c_xy").desc, col("g")).limit(1024)
+          .select(col("g"), col("surp")))
+      val withHead = docBig.join(head, Seq("g"), "left")
+      val scored = withHead.filter(col("surp").isNotNull)
+        .unionByName(withHead.filter(col("surp").isNull).drop("surp")
+          .join(surp.select(col("g"), col("surp")), "g"))
+      scored
+        .groupBy(col("doc_id"))
+        .agg((sum(col("surp") * col("n")).cast("double") /
+          sum(col("n")).cast("double")).as("raw"))
+        .select(col("doc_id"), Ann.round4(col("raw")).as("bigram_surprisal"))
+    }),
+
+    // hard-negative mining for contrastive training: for each of the 20
+    // eval queries, the 5 nearest vectors of a DIFFERENT label — the
+    // standard negatives-selection pass a retrieval/embedding trainer
+    // runs per epoch. See Ann.hardNegatives for the scale shape
+    // (single persisted corpus scan, broadcast query set, k-bounded
+    // rank shuffle).
+    "q83_hard_negatives" -> ((s, dir) =>
+      Ann.hardNegatives(embs(s, dir), "embedding", "vec_id", "label",
+        col("vec_id") < 20, k = 5)),
+
+    // nearest-centroid confusion matrix: per-label DECIMAL(30,12)
+    // centroids (the q52 bit-determinism scheme keyed by label), every
+    // vector assigned to its closest centroid (ties to the smallest
+    // label), confusion counts out — the embedding-quality eval that
+    // gates whether vectors are trustworthy for semantic dedup. The
+    // assignment is a pure codegen projection against literal
+    // centroids; the only Exchange is the |labels|²-row count.
+    "q84_nearest_centroid" -> ((s, dir) =>
+      Ann.nearestCentroidConfusion(embs(s, dir), "embedding", "label")),
+
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
     // scores each doc by its mean token surprisal −ln(cnt/total). The
@@ -1322,6 +1435,101 @@ object TrainingQueries {
          |SELECT tok, count(*) AS df,
          |  array_to_string(list_sort(list(doc_id))[1:32], ',') AS postings
          |FROM dt GROUP BY tok""".stripMargin,
+
+    "q81_bm25_topk" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, tok, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($TOKL) AS tok FROM documents
+         |    WHERE len(trim(text)) > 0) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM dt GROUP BY 1),
+         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+         |       FROM dl),
+         |idf AS (
+         |  SELECT tok,
+         |    floor(ln((n::DOUBLE - df::DOUBLE + 0.5::DOUBLE)
+         |             / (df::DOUBLE + 0.5::DOUBLE)) * 10000 + 0.5) / 10000
+         |      AS idf,
+         |    sumdl::DOUBLE / n::DOUBLE AS avgdl
+         |  FROM (SELECT tok, count(*) AS df FROM dt
+         |        WHERE tok IN ('spark', 'merge', 'vector')
+         |        GROUP BY tok), st),
+         |c AS (
+         |  SELECT d.doc_id,
+         |    CAST(floor(idf * ((tf::DOUBLE * 2.2::DOUBLE) /
+         |        (tf::DOUBLE + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+         |           * (dl::DOUBLE / avgdl)))) * 10000 + 0.5) / 10000
+         |      AS DECIMAL(18,4)) AS contrib
+         |  FROM dt d JOIN dl USING (doc_id) JOIN idf USING (tok)
+         |  WHERE d.tok IN ('spark', 'merge', 'vector'))
+         |SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
+         |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+        .stripMargin,
+
+    "q82_bigram_surprisal" ->
+      s"""WITH toksrc AS (
+         |  SELECT doc_id, $TOKL AS t FROM documents
+         |  WHERE len(trim(text)) > 0),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |           i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM toksrc),
+         |cxy AS (SELECT g, count(*) AS c_xy FROM bg GROUP BY g),
+         |cx AS (
+         |  SELECT split_part(g, ' ', 1) AS w1,
+         |    CAST(sum(c_xy) AS BIGINT) AS c_x
+         |  FROM cxy GROUP BY 1),
+         |surp AS (
+         |  SELECT g,
+         |    (floor(-ln(c_xy::DOUBLE / c_x::DOUBLE) * 10000 + 0.5)
+         |      / 10000)::DECIMAL(18,4) AS s
+         |  FROM cxy JOIN cx ON split_part(g, ' ', 1) = cx.w1)
+         |SELECT doc_id,
+         |  floor((sum(s)::DOUBLE / count(*)) * 10000 + 0.5) / 10000
+         |    AS bigram_surprisal
+         |FROM bg JOIN surp USING (g) GROUP BY doc_id""".stripMargin,
+
+    "q83_hard_negatives" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, $NormE AS v FROM b),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+         |      FROM n WHERE vec_id < 20),
+         |x AS (
+         |  SELECT q.qid, n.vec_id,
+         |    floor(list_dot_product(n.v, q.qv) * 10000 + 0.5) / 10000 AS cos
+         |  FROM n JOIN q ON n.label <> q.qlabel)
+         |SELECT qid, vec_id AS neg_id, cos, rn FROM (
+         |  SELECT qid, vec_id, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |  FROM x) WHERE rn <= 5""".stripMargin,
+
+    "q84_nearest_centroid" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS e
+         |  FROM embeddings WHERE label IS NOT NULL),
+         |dims AS (
+         |  SELECT unnest(range((SELECT len(embedding::DOUBLE[])
+         |                       FROM embeddings WHERE vec_id = 0))) AS pos),
+         |sums AS (
+         |  SELECT label, p.pos,
+         |    sum((e[p.pos+1])::DECIMAL(30,12)) AS s, count(*) AS n
+         |  FROM v, dims p GROUP BY label, p.pos),
+         |cents AS (
+         |  SELECT label AS clabel, list(s::DOUBLE / n ORDER BY pos) AS c
+         |  FROM sums GROUP BY label),
+         |d AS (
+         |  SELECT v.vec_id, v.label, c.clabel,
+         |    ${l2sqSql("v.e", "c.c")} AS dist
+         |  FROM v, cents c),
+         |pred AS (
+         |  SELECT vec_id, label, clabel AS pred_label FROM (
+         |    SELECT vec_id, label, clabel, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+         |    FROM d) WHERE rn = 1)
+         |SELECT label AS true_label, pred_label, count(*) AS n
+         |FROM pred GROUP BY 1, 2""".stripMargin,
 
     "q23_fingerprint" ->
       s"SELECT doc_id, substr(md5($NORM), 1, 16) AS fp FROM documents",

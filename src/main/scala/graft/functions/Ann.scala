@@ -260,6 +260,96 @@ object Ann {
       .drop("_graft_v")
   }
 
+  /** Hard-negative mining for contrastive training: for each query row
+    * (those matching `queryPred`), the top-k most-similar vectors whose
+    * label DIFFERS from the query's — the nearest wrong-class examples.
+    * Scale shape: the corpus is normalized ONCE (persisted, single
+    * scan); the query set broadcasts (query sets are eval-sized,
+    * corpora are not), so the similarity scan is a broadcast
+    * nested-loop over the corpus — inherently N×Q, which IS the exact
+    * mining pass — and only k rows per (partition, query) survive into
+    * the rank shuffle. Ranking uses the 4-decimal-rounded cosine then
+    * the id, the same deterministic tie order as every ANN op here.
+    */
+  def hardNegatives(df: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    require(!df.columns.contains("_q_sel"),
+      "input already has reserved staging column _q_sel")
+    // evaluate queryPred while the caller's full column set is in
+    // scope, THEN project (the annRecall staging discipline)
+    val pre = df.withColumn("_q_sel", queryPred)
+      .select(col(idCol), col(vecCol), col(labelCol), col("_q_sel"))
+    val base = Dedup.trackPersisted(
+      withNormalized(pre, vecCol, "_graft_vn")
+        .select(col(idCol), col(labelCol), col("_graft_vn").as("vn"),
+          col("_q_sel"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val qrows = broadcast(base.filter(col("_q_sel"))
+      .select(col(idCol).as("qid"), col(labelCol).as("qlabel"),
+        col("vn").as("qv")))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col(idCol))
+    base.join(qrows, col(labelCol) =!= col("qlabel"))
+      .select(col("qid"), col(idCol),
+        round4(Expressions.arrayDot(col("vn"), col("qv"))).as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol).as("neg_id"), col("cos"), col("rn"))
+  }
+
+  /** Per-label centroids as literal arrays, bit-deterministic across
+    * engines: per-(label, dim) sums are EXACT decimal(30,12) (double
+    * summation is partition-order-dependent), the mean divide happens
+    * in double — the [[ivfRefine]] scheme keyed by label instead of
+    * cell. The collect is the centroid table itself (|labels|·dim
+    * rows — bounded like every centroid-training step here). Returns
+    * (sorted labels, centroids aligned to that order). */
+  def labelCentroids(df: DataFrame, vecCol: String,
+      labelCol: String): (Array[Int], Array[Array[Double]]) = {
+    val rows = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("int").as("lbl"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(sum(col("x").cast("decimal(30,12)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val labels = rows.map(_.getInt(0)).distinct.sorted
+    val idx = labels.zipWithIndex.toMap
+    val dim = rows.map(_.getInt(1)).max + 1
+    val out = Array.fill(labels.length)(new Array[Double](dim))
+    rows.foreach { r =>
+      out(idx(r.getInt(0)))(r.getInt(1)) =
+        r.getDecimal(2).doubleValue() / r.getLong(3)
+    }
+    (labels, out)
+  }
+
+  /** Nearest-centroid classification confusion matrix: assign every
+    * vector to the closest per-label centroid (argmin L2, ties to the
+    * smallest label — [[withIvfCell]]'s first-min-index rule over the
+    * label-ascending centroid list) and count (true_label, pred_label)
+    * pairs. The standard embedding-quality eval a labeled corpus runs
+    * before trusting its vectors for clustering/dedup. Scale shape:
+    * centroids are a bounded driver table embedded as literals, so the
+    * assignment is a pure codegen projection — the only Exchange is the
+    * |labels|²-row final count. */
+  def nearestCentroidConfusion(df: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val (labels, cents) = labelCentroids(df, vecCol, labelCol)
+    val labelOf = map(labels.zipWithIndex.flatMap { case (l, i) =>
+      Seq(lit(i + 1), lit(l))
+    }: _*)
+    withIvfCell(
+      df.filter(col(labelCol).isNotNull).select(col(labelCol), col(vecCol)),
+      vecCol, cents, "_graft_cell")
+      .filter(col("_graft_cell").isNotNull)
+      .select(col(labelCol).cast("int").as("true_label"),
+        element_at(labelOf, col("_graft_cell")).as("pred_label"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Approximate top-k: restrict the exact scan to the query's LSH
     * bucket (plus optional Hamming-1 neighbor buckets for recall).
     */

@@ -102,7 +102,9 @@ class PlanInvariantsSpec extends SparkSpec {
         "q55_unigram_surprisal", "q64_span_dedup",
         "q66_ann_recall", "q67_dsir_weights",
         "q73_temperature_sample", "q76_tfidf_topterms",
-        "q77_incremental_dedup", "q78_pmi_phrases")) {
+        "q77_incremental_dedup", "q78_pmi_phrases",
+        "q81_bm25_topk", "q82_bigram_surprisal",
+        "q83_hard_negatives")) {
       val df = fresh(q)
       df.collect()
       val scans = PlanAudit.distinctFileScans(df.queryExecution.executedPlan)

@@ -121,4 +121,41 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "dup_of_corpus", 2L -> "new",
       3L -> "dup_in_batch", 4L -> "new"))
   }
+
+  test("hardNegatives: same-label neighbors excluded, rank by cos then id") {
+    import spark.implicits._
+    // query id 0 (label 0) at (1,0); id 1 shares its label and exact
+    // direction — MUST be excluded; ids 2..4 are label 1 at cos 1, 0, −1
+    val vecs = Seq(
+      (0L, 0, Array(1f, 0f)),
+      (1L, 0, Array(1f, 0f)),
+      (2L, 1, Array(1f, 0f)),
+      (3L, 1, Array(0f, 1f)),
+      (4L, 1, Array(-1f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Ann.hardNegatives(vecs, "embedding", "vec_id", "label",
+      col("vec_id") === 0, k = 2)
+      .orderBy("rn")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out === Seq((0L, 2L, 1.0, 1), (0L, 3L, 0.0, 2)))
+    Dedup.releaseCaches()
+  }
+
+  test("nearestCentroidConfusion: exact centroids, tie to smaller label") {
+    import spark.implicits._
+    // label 0: (1,0),(3,0) → centroid (2,0)
+    // label 1: (0,2),(0,4),(12,0) → centroid (4,2)
+    // (0,2): d² 8 vs 16 → pred 0 (misclassified)
+    // (0,4): d² 20 vs 20 → TIE → smaller label 0
+    // (12,0): d² 100 vs 68 → pred 1; both label-0 vecs stay 0
+    val vecs = Seq(
+      (0L, 0, Array(1f, 0f)), (1L, 0, Array(3f, 0f)),
+      (2L, 1, Array(0f, 2f)), (3L, 1, Array(0f, 4f)),
+      (4L, 1, Array(12f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Ann.nearestCentroidConfusion(vecs, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0, 0) -> 2L, (1, 0) -> 2L, (1, 1) -> 1L))
+  }
 }
