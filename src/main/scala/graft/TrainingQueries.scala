@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Ann, Dedup, Expressions, TextFunctions}
@@ -50,6 +50,46 @@ object TrainingQueries {
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
     embs(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+
+  /** BM25 top-k (Robertson/Sparck Jones, k1=1.2 b=0.75) for the fixed
+    * lexical query {spark, merge, vector} — shared by q81 (k=10) and
+    * the q86 fusion arm (k=20). Scale shape and the exactness
+    * discipline are documented on the q81 entry. */
+  private def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val qTerms = Seq("spark", "merge", "vector")
+    val docTok = Dedup.trackPersisted(
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dlen = docTok.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val idf = broadcast(
+      docTok.filter(col("tok").isin(qTerms: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("tok"),
+          Ann.round4(log(
+            (col("n").cast("double") - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5))).as("idf"),
+          (col("sumdl").cast("double") / col("n").cast("double"))
+            .as("avgdl")))
+    docTok.filter(col("tok").isin(qTerms: _*))
+      .join(dlen, "doc_id")
+      .join(idf, "tok")
+      .select(col("doc_id"),
+        Ann.round4(col("idf") * ((col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))))
+          .cast("decimal(18,4)").as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_count" -> ((s, dir) =>
@@ -681,41 +721,7 @@ object TrainingQueries {
     // engines run the identical op sequence); each term's contribution
     // is a single correctly-rounded product, quantized to DECIMAL(18,4)
     // and summed exactly across the ≤3 query terms.
-    "q81_bm25_topk" -> ((s, dir) => {
-      val qTerms = Seq("spark", "merge", "vector")
-      val docTok = Dedup.trackPersisted(
-        docs(s, dir)
-          .select(col("doc_id"),
-            explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val dlen = docTok.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val stats = dlen.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-      val idf = broadcast(
-        docTok.filter(col("tok").isin(qTerms: _*))
-          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(stats))
-          .select(col("tok"),
-            Ann.round4(log(
-              (col("n").cast("double") - col("df").cast("double") + 0.5) /
-                (col("df").cast("double") + 0.5))).as("idf"),
-            (col("sumdl").cast("double") / col("n").cast("double"))
-              .as("avgdl")))
-      docTok.filter(col("tok").isin(qTerms: _*))
-        .join(dlen, "doc_id")
-        .join(idf, "tok")
-        .select(col("doc_id"),
-          Ann.round4(col("idf") * ((col("tf").cast("double") * 2.2) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                (col("dl").cast("double") / col("avgdl"))))))
-            .cast("decimal(18,4)").as("contrib"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("contrib")).cast("double").as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(10)
-    }),
+    "q81_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, 10)),
 
     // bigram conditional surprisal (the CCNet-style LM-filter proxy one
     // order up from q55): per-doc mean of −ln(c_xy / c_x·) over adjacent
@@ -779,6 +785,66 @@ object TrainingQueries {
     // centroids; the only Exchange is the |labels|²-row count.
     "q84_nearest_centroid" -> ((s, dir) =>
       Ann.nearestCentroidConfusion(embs(s, dir), "embedding", "label")),
+
+    // count-min sketch frequency estimation (Cormode & Muthukrishnan
+    // 2005) via the native CountMinSketchAgg: corpus token counts
+    // approximated by a 4×16 counter block whose aggregation state is
+    // ONE 512-byte buffer per map partition — the mergeable-sketch
+    // shape that replaces a vocabulary-sized shuffle with a constant
+    // one at any corpus size. The query emits (tok, exact, estimate)
+    // for every vocab token; width 16 < |vocab| forces real collisions,
+    // so the CMS overcount property (est ≥ cnt, min over 4 independent
+    // rows) is exercised, not vacuous. Deterministic: FNV row hashes +
+    // signed pmod — the oracle rebuilds the identical sketch in SQL.
+    "q85_cms_counts" -> ((s, dir) => {
+      val (d, w) = (4, 16)
+      val toks = Dedup.trackPersisted(
+        docs(s, dir)
+          .select(explode(TextFunctions.tokens(lower(col("text"))))
+            .as("tok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sketch = toks.agg(Expressions.cmsSketch(col("tok"), d, w).as("sk"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      exact.crossJoin(broadcast(sketch))
+        .select(col("tok"), col("cnt"),
+          (0 until d).map { r =>
+            element_at(col("sk"),
+              (lit(r * w) +
+                pmod(Expressions.fnv1a64(concat(lit(s"$r:"), col("tok"))),
+                  lit(w.toLong)) + 1L).cast("int"))
+          }.reduce(least(_, _)).as("est"))
+    }),
+
+    // reciprocal-rank fusion (Cormack et al. 2009) of the two retrieval
+    // modalities: BM25 lexical top-20 (q81's pipeline) fused with
+    // embedding cosine top-20 for the same corpus — the standard hybrid
+    // retrieval combiner. rrf(id) = Σ 1/(60+rank) over the rankings
+    // that contain id. Scale shape: both inputs are already k-row
+    // relations (TakeOrderedAndProject), so ranking and fusion run on
+    // 2k rows regardless of corpus size. Exactness: each 1/(60+r) is
+    // one correctly-rounded double division quantized to DECIMAL(18,4);
+    // the ≤2-term sum is exact; ties break on id.
+    "q86_rrf_fusion" -> ((s, dir) => {
+      def rrfTerm(r: Column): Column =
+        Ann.round4(lit(1.0) / (lit(60) + r).cast("double"))
+          .cast("decimal(18,4)")
+      val zero = lit(0).cast("decimal(18,4)")
+      val bm = bm25TopK(s, dir, 20)
+        .withColumn("r1", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+      val ann = Ann.cosineTopK(embs(s, dir), "embedding", "vec_id",
+        queryVec(s, dir), 20)
+        .withColumn("r2", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id"))))
+      bm.select(col("doc_id").as("id"), col("r1"))
+        .join(ann.select(col("vec_id").as("id"), col("r2")),
+          Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(rrfTerm(col("r1")), zero) +
+            coalesce(rrfTerm(col("r2")), zero)).cast("double").as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(10)
+    }),
 
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
@@ -1189,6 +1255,39 @@ object TrainingQueries {
     s"""(CASE WHEN $v >= 9223372036854775808::HUGEINT
        | THEN ($v - 18446744073709551616::HUGEINT) ELSE $v END)::BIGINT""".stripMargin
 
+  /** The q81 BM25 pipeline as a CTE list ending in `bm(doc_id, score)`
+    * (unlimited) — shared by q81's top-10 and q86's fusion arm
+    * (top-20 rank). Same op order as the engine: see the q81 entry. */
+  private def bm25Ctes: String =
+    s"""dt AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest($TOKL) AS tok FROM documents
+       |    WHERE len(trim(text)) > 0) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |       FROM dt GROUP BY 1),
+       |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+       |       FROM dl),
+       |idf AS (
+       |  SELECT tok,
+       |    floor(ln((n::DOUBLE - df::DOUBLE + 0.5::DOUBLE)
+       |             / (df::DOUBLE + 0.5::DOUBLE)) * 10000 + 0.5) / 10000
+       |      AS idf,
+       |    sumdl::DOUBLE / n::DOUBLE AS avgdl
+       |  FROM (SELECT tok, count(*) AS df FROM dt
+       |        WHERE tok IN ('spark', 'merge', 'vector')
+       |        GROUP BY tok), st),
+       |c AS (
+       |  SELECT d.doc_id,
+       |    CAST(floor(idf * ((tf::DOUBLE * 2.2::DOUBLE) /
+       |        (tf::DOUBLE + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+       |           * (dl::DOUBLE / avgdl)))) * 10000 + 0.5) / 10000
+       |      AS DECIMAL(18,4)) AS contrib
+       |  FROM dt d JOIN dl USING (doc_id) JOIN idf USING (tok)
+       |  WHERE d.tok IN ('spark', 'merge', 'vector')),
+       |bm AS (
+       |  SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
+       |  FROM c GROUP BY doc_id)""".stripMargin
+
   /** Unsigned 64-bit SimHash of every doc (empty docs → 0), as a WITH
     * prefix ending in a `shu(doc_id, u UBIGINT)` relation. */
   private def simhashCte(from: String = "documents"): String =
@@ -1437,34 +1536,60 @@ object TrainingQueries {
          |FROM dt GROUP BY tok""".stripMargin,
 
     "q81_bm25_topk" ->
-      s"""WITH dt AS (
-         |  SELECT doc_id, tok, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest($TOKL) AS tok FROM documents
-         |    WHERE len(trim(text)) > 0) GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-         |       FROM dt GROUP BY 1),
-         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
-         |       FROM dl),
-         |idf AS (
-         |  SELECT tok,
-         |    floor(ln((n::DOUBLE - df::DOUBLE + 0.5::DOUBLE)
-         |             / (df::DOUBLE + 0.5::DOUBLE)) * 10000 + 0.5) / 10000
-         |      AS idf,
-         |    sumdl::DOUBLE / n::DOUBLE AS avgdl
-         |  FROM (SELECT tok, count(*) AS df FROM dt
-         |        WHERE tok IN ('spark', 'merge', 'vector')
-         |        GROUP BY tok), st),
-         |c AS (
-         |  SELECT d.doc_id,
-         |    CAST(floor(idf * ((tf::DOUBLE * 2.2::DOUBLE) /
-         |        (tf::DOUBLE + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
-         |           * (dl::DOUBLE / avgdl)))) * 10000 + 0.5) / 10000
-         |      AS DECIMAL(18,4)) AS contrib
-         |  FROM dt d JOIN dl USING (doc_id) JOIN idf USING (tok)
-         |  WHERE d.tok IN ('spark', 'merge', 'vector'))
-         |SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
-         |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
-        .stripMargin,
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, score FROM bm
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q85_cms_counts" -> {
+      val bucket = s"((${toSigned(fnvSql("(r.r::VARCHAR || ':' || tok)"))}" +
+        " % 16) + 16) % 16"
+      s"""WITH toks AS (
+         |  SELECT unnest($TOKL) AS tok FROM documents
+         |  WHERE len(trim(text)) > 0),
+         |exact AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         |tb AS (
+         |  SELECT tok, cnt, r.r AS r, $bucket AS c
+         |  FROM exact, range(4) r(r)),
+         |cells AS (
+         |  SELECT r, c, CAST(sum(cnt) AS BIGINT) AS cell
+         |  FROM tb GROUP BY r, c),
+         |est AS (
+         |  SELECT tok, min(cell) AS est
+         |  FROM tb JOIN cells USING (r, c) GROUP BY tok)
+         |SELECT e.tok, e.cnt, est FROM exact e JOIN est USING (tok)"""
+        .stripMargin
+    },
+
+    "q86_rrf_fusion" -> {
+      def term(r: String) =
+        s"""coalesce((floor(1.0::DOUBLE / ((60 + $r)::DOUBLE)
+           |  * 10000 + 0.5) / 10000)::DECIMAL(18,4),
+           |  0::DECIMAL(18,4))""".stripMargin
+      s"""WITH $bm25Ctes,
+         |bmr AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS r1
+         |  FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 20)),
+         |q0 AS (
+         |  SELECT embedding::DOUBLE[] AS e FROM embeddings
+         |  WHERE vec_id = 0),
+         |qn AS (SELECT $NormE AS q FROM q0),
+         |nv AS (SELECT vec_id, $NormE AS v FROM (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+         |atop AS (
+         |  SELECT vec_id,
+         |    floor(list_dot_product(v, q) * 10000 + 0.5) / 10000 AS cos
+         |  FROM nv, qn ORDER BY cos DESC, vec_id LIMIT 20),
+         |annr AS (
+         |  SELECT vec_id, row_number() OVER (
+         |    ORDER BY cos DESC, vec_id) AS r2 FROM atop),
+         |f AS (
+         |  SELECT coalesce(b.doc_id, a.vec_id) AS id,
+         |    ${term("r1")} + ${term("r2")} AS rrf
+         |  FROM bmr b FULL OUTER JOIN annr a ON b.doc_id = a.vec_id)
+         |SELECT id, rrf::DOUBLE AS rrf FROM f
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+    },
 
     "q82_bigram_surprisal" ->
       s"""WITH toksrc AS (

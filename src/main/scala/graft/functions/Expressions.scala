@@ -12,9 +12,15 @@ object HashKernels {
 
   /** FNV-1a 64-bit rolling hash over UTF-8 bytes — the document
     * fingerprint primitive (public-domain constants). */
-  def fnv1a64(s: UTF8String): Long = {
+  def fnv1a64(s: UTF8String): Long = fnv1a64From(0xcbf29ce484222325L, s)
+
+  /** FNV-1a continued from a prior state: fnv1a64(prefix ++ s) ==
+    * fnv1a64From(fnv1a64(prefix), s) — lets a per-row seed prefix
+    * (e.g. "3:") be hashed ONCE and reused per input instead of
+    * allocating a concatenated string per (row, input). */
+  def fnv1a64From(state: Long, s: UTF8String): Long = {
     val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
+    var h = state
     var i = 0
     while (i < bytes.length) {
       h ^= (bytes(i) & 0xffL)
@@ -406,6 +412,91 @@ case class BoundedMinK(child: Expression, k: Int,
       cs: IndexedSeq[Expression]): BoundedMinK = copy(child = cs.head)
 }
 
+/** Count-min sketch buffer (Cormode & Muthukrishnan 2005): depth×width
+  * long counters, row-major. Row r's hash is FNV-1a over ("r:" ++ tok)
+  * with the "r:" prefix state precomputed once per buffer — so an
+  * update is depth seeded-FNV continuations and depth increments, no
+  * allocation. */
+final class CmsBuffer(val depth: Int, val width: Int) {
+  val cells = new Array[Long](depth * width)
+  private val prefix: Array[Long] = Array.tabulate(depth)(r =>
+    HashKernels.fnv1a64(UTF8String.fromString(r + ":")))
+  def add(s: UTF8String, n: Long): Unit = {
+    var r = 0
+    while (r < depth) {
+      val h = HashKernels.fnv1a64From(prefix(r), s)
+      val c = ((h % width) + width) % width
+      cells(r * width + c.toInt) += n
+      r += 1
+    }
+  }
+}
+
+/** Global count-min sketch of a string column as a native
+  * TypedImperativeAggregate: the aggregation state is ONE fixed
+  * depth·width·8-byte counter block per map partition, merged
+  * elementwise — the classic mergeable-sketch shape, so estimating
+  * corpus-wide token frequencies costs a single constant-size buffer
+  * per partition across the Exchange where an exact count shuffles the
+  * full vocabulary. Deterministic end to end (FNV row hashes, signed
+  * pmod bucketing), so an oracle can rebuild the identical sketch.
+  * Returns the row-major array<bigint>; estimate(tok) =
+  * min over r of cells[r·width + pmod(fnv1a64("r:"++tok), width)]. */
+case class CountMinSketchAgg(child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[CmsBuffer] {
+  import org.apache.spark.sql.types._
+  require(depth > 0 && width > 0, "depth and width must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${t.catalogString}")
+    }
+
+  override def createAggregationBuffer(): CmsBuffer =
+    new CmsBuffer(depth, width)
+  override def update(b: CmsBuffer, row: InternalRow): CmsBuffer = {
+    val v = child.eval(row)
+    if (v != null) b.add(v.asInstanceOf[UTF8String], 1L)
+    b
+  }
+  override def merge(b: CmsBuffer, o: CmsBuffer): CmsBuffer = {
+    var i = 0
+    while (i < b.cells.length) { b.cells(i) += o.cells(i); i += 1 }
+    b
+  }
+  override def eval(b: CmsBuffer): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(b.cells)
+  override def serialize(b: CmsBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * b.cells.length)
+    var i = 0
+    while (i < b.cells.length) { bb.putLong(b.cells(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): CmsBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new CmsBuffer(depth, width)
+    var i = 0
+    while (i < b.cells.length) { b.cells(i) = bb.getLong; i += 1 }
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): CountMinSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): CountMinSketchAgg = copy(child = cs.head)
+}
+
 object Expressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -422,6 +513,9 @@ object Expressions {
   def sniffPayload(c: Column): Column = column(SniffPayload(expression(c)))
   def boundedMinK(c: Column, k: Int): Column =
     column(BoundedMinK(expression(c), k).toAggregateExpression())
+  def cmsSketch(c: Column, depth: Int, width: Int): Column =
+    column(CountMinSketchAgg(expression(c), depth, width)
+      .toAggregateExpression())
 
   /** SQL registration so the expressions are usable from spark.sql. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -104,7 +104,7 @@ class PlanInvariantsSpec extends SparkSpec {
         "q73_temperature_sample", "q76_tfidf_topterms",
         "q77_incremental_dedup", "q78_pmi_phrases",
         "q81_bm25_topk", "q82_bigram_surprisal",
-        "q83_hard_negatives")) {
+        "q83_hard_negatives", "q85_cms_counts")) {
       val df = fresh(q)
       df.collect()
       val scans = PlanAudit.distinctFileScans(df.queryExecution.executedPlan)

@@ -612,4 +612,44 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getSeq[Long](1).toSeq)
     assert(got.head == Seq(2L, 5L))
   }
+
+  /** CMS estimate read off a sketch array the way the q85 query does:
+    * min over rows of the cell at pmod(fnv1a64("r:" ++ tok), width). */
+  private def cmsEstimate(sk: Seq[Long], depth: Int, width: Int,
+      tok: String): Long =
+    (0 until depth).map { r =>
+      val h = HashKernels.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r + ":" + tok))
+      sk(r * width + (((h % width) + width) % width).toInt)
+    }.min
+
+  test("cmsSketch: estimates never undercount, exact when collision-free") {
+    // 6 distinct tokens over width 64 → (overwhelmingly) collision-free
+    // rows; with depth 4 the min-row estimate must equal the true count
+    val toks = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++
+      Seq.fill(7)("gamma") ++ Seq("delta", "epsilon", "zeta")
+    val df = spark.createDataFrame(toks.map(Tuple1(_))).toDF("tok")
+      .repartition(8) // force partial buffers + merges + serde
+    val sk = df.agg(Expressions.cmsSketch($"tok", 4, 64).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(sk.length == 4 * 64)
+    assert(sk.sum == 4L * toks.length, "each add increments one cell/row")
+    val truth = toks.groupBy(identity).view.mapValues(_.size.toLong)
+    truth.foreach { case (t, n) =>
+      val est = cmsEstimate(sk, 4, 64, t)
+      assert(est >= n, s"$t undercounted: $est < $n")
+    }
+    // sanity at this width: every estimate is exact OR a collision is
+    // visible in all 4 rows (the only way CMS can overcount)
+    assert(truth.count { case (t, n) => cmsEstimate(sk, 4, 64, t) == n }
+      >= 4, "expected mostly-exact estimates at width 64")
+  }
+
+  test("cmsSketch: width-1 degenerates to the total count; nulls skipped") {
+    val df = spark.createDataFrame(
+      Seq(Some("a"), None, Some("b"), Some("a")).map(Tuple1(_))).toDF("tok")
+    val sk = df.agg(Expressions.cmsSketch($"tok", 2, 1).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(sk == Seq(3L, 3L), "every non-null lands in the single cell")
+  }
 }
