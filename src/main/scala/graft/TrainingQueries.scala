@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{Ann, Dedup, Expressions, TextFunctions}
+import graft.functions.{Ann, Corpus, Dedup, Expressions, TextFunctions}
 
 /** Training-data pipeline operators as driver-checkable queries:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
@@ -846,6 +846,117 @@ object TrainingQueries {
         .limit(10)
     }),
 
+    // bloom-pruned eval-set decontamination: q56's operator at the
+    // corpus scale where the exact eval-gram set no longer broadcasts.
+    // The eval grams aggregate into ONE 4096-bit bloom bitset (native
+    // mergeable BloomFilterAgg — ~bits per key where a broadcast hash
+    // set costs ≥8 bytes per key: at 10⁹ eval grams that is 1.25 GB vs
+    // 8 GB, the difference between a filter every executor holds and
+    // one it cannot), the full-volume corpus gram stream is prefiltered
+    // by a codegen'd BloomContains probe at scan speed, and only the
+    // surviving sliver enters the residual exchange where an exact
+    // (shuffle-hash, deliberately non-broadcast) semi join removes the
+    // bloom's false positives. Exact by construction: the probe shares
+    // the build's bit arithmetic, so there are no false negatives, and
+    // the residual join kills the false positives — the sketch only
+    // prunes volume, never decides membership. mBits is sized LOW for
+    // the test corpus (~0.5 bits/gram at sf0.1) precisely so the
+    // false-positive path carries real traffic the oracle would catch
+    // if the residual join ever dropped out. Output is the per-doc
+    // matched-gram count (a superset signal of q56's boolean flag).
+    "q87_bloom_decontaminate" -> ((s, dir) => {
+      val (mBits, k) = (4096, 3)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val evalDocs = d.filter(col("doc_id") % 50 === 0)
+      val train = d.filter(col("doc_id") % 50 =!= 0)
+        .unionByName(evalDocs.withColumn("doc_id", col("doc_id") + 200000))
+      // same null-token guard as q56 (phantom FNV("") hazard)
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .filter(col("t").isNotNull)
+        .select(col("doc_id"), explode(Expressions.arrayFnv1a64(
+          TextFunctions.shinglesFromTokens(col("t"), 8))).as("g"))
+      // persisted: feeds the bloom build AND the residual join — eval
+      // docs are scanned once per query (single-scan invariant)
+      val evalGrams = Dedup.trackPersisted(
+        grams(evalDocs).select(col("g")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val bloom = evalGrams
+        .agg(Expressions.bloomFilter(col("g"), mBits, k).as("bf"))
+      grams(train)
+        .crossJoin(broadcast(bloom))
+        .filter(Expressions.bloomContains(col("bf"), col("g"), mBits, k))
+        .select(col("doc_id"), col("g"))
+        // residual exactness join, pinned SHUFFLE_HASH: the 100 TB
+        // premise is that the eval grams DON'T broadcast — survivors
+        // (already bloom-thinned) shuffle on the 8-byte gram key
+        .join(evalGrams.hint("SHUFFLE_HASH"), Seq("g"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("shared"))
+    }),
+
+    // HyperLogLog distinct-cardinality sketch (Flajolet et al. 2007)
+    // per language: the second mergeable-sketch aggregate (CMS = q85
+    // counts; HLL = set cardinality). The state crossing the Exchange
+    // is 64 one-byte registers per group where COUNT(DISTINCT tok)
+    // shuffles every distinct token — the standard corpus-profiling
+    // estimator at 100 TB. Exactness discipline: the estimate is pure
+    // integer arithmetic — Σ 2^(59−reg) summed as DECIMAL(38,0)
+    // (each addend a power of two; a double sum would shed low bits
+    // past 53), then ⌊2905·2^59 / S⌋ by integral division, with
+    // 2905 ≈ α₆₄·m² the engine's pinned scaled-alpha constant — so
+    // the oracle rebuilds the identical registers (FNV key hash,
+    // bucket = h mod 64, rho = 1 + trailing-zeros(h ÷ 64) — LSB rank,
+    // see HllBuffer for why not leading zeros) and the identical
+    // estimate with HUGEINT/DECIMAL math, no float anywhere. The
+    // exact count rides along to expose the estimator's error.
+    // (Integral-quotient overflow needs S < 182, i.e. every register
+    // ≥ 53 ≈ 2^53 distinct keys per bucket — unreachable.)
+    "q88_hll_distinct" -> ((s, dir) => {
+      val toks = Dedup.trackPersisted(docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("lang"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        // persisted: the sketch and the exact baseline both re-derive
+        // from this cache — one corpus scan per query
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val est = toks.groupBy(col("lang"))
+        .agg(Expressions.hllSketch(col("tok"), 64).as("regs"))
+        .select(col("lang"), posexplode(col("regs")).as(Seq("b", "reg")))
+        .groupBy(col("lang"))
+        .agg(sum(expr(
+          "cast(shiftleft(cast(1 as bigint), 59 - reg) as decimal(38,0))"))
+          .as("ssum"))
+        .select(col("lang"), expr(
+          "cast(cast(2905 as decimal(38,0)) * " +
+            "cast(576460752303423488 as decimal(38,0)) div ssum as bigint)")
+          .as("hll_est"))
+      toks.groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("exact_uniq"))
+        .join(est, Seq("lang"))
+    }),
+
+    // GPT-style pretraining sequence packing (concat-and-chunk) —
+    // distinct from q79 (per-doc stride windows) and q54 (shard budget
+    // packing); the distributed two-phase prefix sum and the exactness
+    // argument live on Corpus.packSequences
+    "q89_pack_sequences" -> ((s, dir) =>
+      Corpus.packSequences(docs(s, dir), "text", "doc_id", seqLen = 256L)),
+
+    // PageRank-style centrality (3 integer-arithmetic power iterations,
+    // Corpus.pagerank) over the rare-shingle co-occurrence graph
+    // (Corpus.rareGramEdges): docs sharing a global-df∈[2,4] 8-gram are
+    // linked — 8-grams, not tokens, because the synthetic corpus has a
+    // ~31-token vocabulary where every token is common, while the rare
+    // 8-gram band is exactly the near-dup/boilerplate signal
+    "q90_pagerank" -> ((s, dir) =>
+      Corpus.pagerank(
+        Corpus.rareGramEdges(docs(s, dir), "text", "doc_id",
+          k = 8, dfMin = 2, dfMax = 4), iters = 3)
+        .orderBy(col("pr").desc, col("v")).limit(50)
+        .select(col("v").as("doc_id"), col("deg"),
+          col("pr").as("pr_micro"))),
+
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
     // scores each doc by its mean token surprisal −ln(cnt/total). The
@@ -1251,6 +1362,46 @@ object TrainingQueries {
        |             * 1099511628211::HUGEINT)
        |            % 18446744073709551616::HUGEINT)""".stripMargin
 
+  /** The q90 integer-PageRank fixed point as chained CTEs — one
+    * agg/pr pair per power iteration, BIGINT floor-division arithmetic
+    * identical to the engine's (1e-12 units). */
+  private def pagerankSql(iters: Int): String = {
+    val gramJoin = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    val base =
+      s"""d AS (SELECT doc_id, $TOK AS t FROM documents
+         |      WHERE len(trim(text)) > 0),
+         |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-6),
+         |        i -> $gramJoin)) AS g FROM d),
+         |gh AS (SELECT DISTINCT doc_id, ${fnvSql("g")} AS g FROM g0),
+         |rare AS (SELECT g FROM gh GROUP BY g
+         |         HAVING count(*) BETWEEN 2 AND 4),
+         |rt AS (SELECT doc_id, g FROM gh
+         |       WHERE g IN (SELECT g FROM rare)),
+         |e AS (SELECT DISTINCT a.doc_id AS sa, b.doc_id AS sb
+         |      FROM rt a JOIN rt b USING (g) WHERE a.doc_id < b.doc_id),
+         |sym AS (SELECT sa AS src, sb AS dst FROM e
+         |        UNION ALL SELECT sb, sa FROM e),
+         |verts AS (SELECT src AS v, count(*) AS deg FROM sym GROUP BY src),
+         |nv AS (SELECT count(*) AS n FROM verts),
+         |pr0 AS (SELECT v, deg, 1000000000000::BIGINT // n AS pr
+         |        FROM verts, nv)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""agg$i AS (
+         |  SELECT dst AS v, CAST(sum(pr // deg) AS BIGINT) AS sc
+         |  FROM sym JOIN pr${i - 1} ON sym.src = pr${i - 1}.v
+         |  GROUP BY dst),
+         |pr$i AS (
+         |  SELECT verts.v, verts.deg,
+         |    (150000000000::BIGINT // n) +
+         |    CAST((85 * coalesce(sc, 0)) // 100 AS BIGINT) AS pr
+         |  FROM verts CROSS JOIN nv
+         |  LEFT JOIN agg$i ON agg$i.v = verts.v)""".stripMargin
+    }
+    s"WITH $base,\n${iterCtes.mkString(",\n")}\n" +
+      s"SELECT v AS doc_id, deg, pr AS pr_micro FROM pr$iters " +
+      "ORDER BY pr DESC, v LIMIT 50"
+  }
+
   private def toSigned(v: String): String =
     s"""(CASE WHEN $v >= 9223372036854775808::HUGEINT
        | THEN ($v - 18446744073709551616::HUGEINT) ELSE $v END)::BIGINT""".stripMargin
@@ -1590,6 +1741,87 @@ object TrainingQueries {
          |SELECT id, rrf::DOUBLE AS rrf FROM f
          |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
     },
+
+    // the bloom is oracle-INVISIBLE: no false negatives + exact
+    // residual join ⇒ the composite equals the exact q56 overlap, so
+    // the oracle is the exact gram intersection with a per-doc count
+    "q87_bloom_decontaminate" -> {
+      val gramJoin = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
+         |ev AS (SELECT * FROM d WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, t FROM d WHERE doc_id % 50 <> 0
+         |       UNION ALL SELECT doc_id + 200000, t FROM ev),
+         |evg AS (
+         |  SELECT DISTINCT ${fnvSql("g")} AS h FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)-6),
+         |      i -> $gramJoin)) AS g
+         |    FROM ev)),
+         |trg AS (
+         |  SELECT doc_id, ${fnvSql("g")} AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t)-6),
+         |      i -> $gramJoin)) AS g
+         |    FROM tr))
+         |SELECT doc_id, count(DISTINCT h) AS shared FROM trg
+         |WHERE h IN (SELECT h FROM evg)
+         |GROUP BY doc_id""".stripMargin
+    },
+
+    // rebuilds the IDENTICAL HLL registers from raw data (unsigned FNV
+    // in HUGEINT mod-2^64 arithmetic; bucket = h mod 64, w = h // 64,
+    // rho = trailing zeros of w plus one, via bin()/rtrim) and the
+    // identical integer estimate — no float math
+    "q88_hll_distinct" ->
+      s"""WITH toks AS (
+         |  SELECT lang, unnest($TOKL) AS tok FROM documents
+         |  WHERE len(trim(text)) > 0),
+         |dt AS (SELECT DISTINCT lang, tok FROM toks),
+         |h AS (SELECT lang, ${fnvSql("tok")} AS hu FROM dt),
+         |br AS (SELECT lang, CAST(hu % 64 AS INT) AS b,
+         |              CAST(hu // 64 AS BIGINT) AS w FROM h),
+         |rr AS (SELECT lang, b,
+         |  CASE WHEN w = 0 THEN 59
+         |       ELSE length(bin(w)) - length(rtrim(bin(w), '0')) + 1
+         |  END AS rho
+         |  FROM br),
+         |regs AS (
+         |  SELECT l.lang, r.r AS b, coalesce(max(rho), 0) AS reg
+         |  FROM (SELECT DISTINCT lang FROM dt) l CROSS JOIN range(64) r(r)
+         |  LEFT JOIN rr ON rr.lang = l.lang AND rr.b = r.r
+         |  GROUP BY 1, 2),
+         |s AS (SELECT lang,
+         |  sum((CAST(1 AS BIGINT) << (59 - reg))::HUGEINT) AS ssum
+         |  FROM regs GROUP BY lang),
+         |e AS (SELECT lang,
+         |  CAST((2905::HUGEINT * 576460752303423488::HUGEINT)
+         |       // ssum AS BIGINT) AS hll_est FROM s),
+         |x AS (SELECT lang, count(DISTINCT tok) AS exact_uniq
+         |      FROM toks GROUP BY lang)
+         |SELECT x.lang, exact_uniq, hll_est FROM x JOIN e USING (lang)"""
+        .stripMargin,
+
+    // the sequential prefix sum (one window) — the engine's two-phase
+    // shard sum must equal it exactly because shard = doc_id div 100
+    // is monotonic in doc_id
+    "q89_pack_sequences" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, len($TOK)::BIGINT AS n FROM documents
+         |  WHERE len(trim(text)) > 0),
+         |o AS (SELECT doc_id, n,
+         |  CAST(coalesce(sum(n + 1) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS off
+         |  FROM dt),
+         |sp AS (SELECT doc_id, n, off,
+         |  unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS seq_id
+         |  FROM o)
+         |SELECT seq_id, doc_id,
+         |  greatest(off, seq_id * 256) - off AS doc_off,
+         |  greatest(off, seq_id * 256) - seq_id * 256 AS seq_off,
+         |  least(off + n, (seq_id + 1) * 256)
+         |    - greatest(off, seq_id * 256) AS n_toks
+         |FROM sp""".stripMargin,
+
+    "q90_pagerank" -> pagerankSql(3),
 
     "q82_bigram_surprisal" ->
       s"""WITH toksrc AS (

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-assembly operators for the pretraining data pipeline:
+  * sequence packing (concat-and-chunk) and graph centrality over a
+  * document-similarity graph. Both are exact-integer-arithmetic
+  * operators — every division is a BIGINT floor division — so a SQL
+  * oracle reproduces them bit-for-bit.
+  */
+object Corpus {
+
+  /** GPT-style pretraining sequence packing: concatenate every doc
+    * (idCol order, one EOS token appended to each) into one global
+    * token stream, cut at fixed seqLen, and emit each doc's span
+    * pieces — `(seq_id, id, doc_off, seq_off, n_toks)`.
+    *
+    * The global offset is a DISTRIBUTED PREFIX SUM — the piece that
+    * decides whether this runs at 10¹² tokens: stage 1 sums (n+1)
+    * within id-range shards (window partitioned BY SHARD — parallel,
+    * each shard a bounded row range), stage 2 cumsums the per-shard
+    * totals (one window over #shards ≪ N rows; at extreme scale this
+    * level recurses with the same two-phase scan), stage 3 broadcasts
+    * the shard bases back. shard = id div shardSize is monotonic in
+    * id, so shard-local order == global order and the two-phase sum
+    * equals the sequential one — asserted by spec at two shard sizes.
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      seqLen: Long, shardSize: Long = 100L): DataFrame = {
+    val dt = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n"))
+      .withColumn("shard", expr(s"$idCol div $shardSize"))
+    val wLocal = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = dt.groupBy(col("shard"))
+      .agg(sum(col("n") + 1L).as("tot"))
+      // single-partition window, but over #shards rows, not N
+      .withColumn("base", coalesce(sum(col("tot")).over(wShard), lit(0L)))
+      .select(col("shard"), col("base"))
+    dt.withColumn("local_off",
+        coalesce(sum(col("n") + 1L).over(wLocal), lit(0L)))
+      .join(broadcast(bases), Seq("shard"))
+      .withColumn("off", col("base") + col("local_off"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"off div $seqLen"), expr(s"(off + n - 1) div $seqLen"))))
+      .select(col("seq_id"), col(idCol),
+        (greatest(col("off"), col("seq_id") * seqLen) - col("off"))
+          .as("doc_off"),
+        (greatest(col("off"), col("seq_id") * seqLen)
+          - col("seq_id") * seqLen).as("seq_off"),
+        (least(col("off") + col("n"), (col("seq_id") + 1L) * seqLen)
+          - greatest(col("off"), col("seq_id") * seqLen)).as("n_toks"))
+  }
+
+  /** Document-similarity edges: docs sharing a k-token shingle whose
+    * global document frequency lies in [dfMin, dfMax] are linked. The
+    * df ceiling IS the occupancy cap — ≤ C(dfMax,2) pairs per gram, no
+    * hub blow-up — and grams ride every exchange as 8-byte FNV longs
+    * (identical hashing engine- and oracle-side, so a collision merges
+    * the same grams in both). Returns distinct `(sa, sb)` with sa < sb.
+    * The gram relation is persisted (tracked for release): it feeds
+    * both the df count and the pair join — one text scan.
+    */
+  def rareGramEdges(df: DataFrame, textCol: String, idCol: String,
+      k: Int, dfMin: Int, dfMax: Int): DataFrame = {
+    val grams = Dedup.trackPersisted(df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col(idCol), explode(Expressions.arrayFnv1a64(
+        TextFunctions.shinglesFromTokens(col("t"), k))).as("g"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c").between(dfMin, dfMax)).select(col("g"))
+    val rt = grams.join(rare, Seq("g"))
+    rt.select(col("g"), col(idCol).as("sa"))
+      .join(rt.select(col("g"), col(idCol).as("sb")), Seq("g"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+  }
+
+  /** PageRank-style centrality over an undirected graph given as
+    * distinct `(sa, sb)` edges (sa < sb), `iters` power iterations.
+    * Returns `(v, deg, pr)` with pr in 1e-12 units.
+    *
+    * The whole fixed point is INTEGER arithmetic: pr₀ = 10¹² div N;
+    * each round pr' = (0.15·10¹² div N) + (85·Σ(pr_u div deg_u)) div
+    * 100 — floor division and BIGINT sums only, so Spark and a SQL
+    * oracle reproduce every iterate bit-for-bit (the q52 decimal
+    * determinism discipline taken to its integer limit). Dangling mass
+    * is out of scope by construction: the graph is symmetric, so every
+    * vertex has deg ≥ 1 and at least one in-neighbor.
+    *
+    * Scale shape: the edge set is persisted once (tracked) and reused
+    * by all rounds; each round is one shuffle join + one map-side-
+    * combined sum — O(iters) jobs, no driver state beyond the
+    * broadcast 1-row vertex count.
+    */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = Dedup.trackPersisted(edges.persist(StorageLevel.MEMORY_AND_DISK))
+    val sym = e.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(e.select(col("sb").as("src"), col("sa").as("dst")))
+    val verts = Dedup.trackPersisted(
+      sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nRow = broadcast(verts.agg(count(lit(1)).as("nv")))
+    var pr = verts.crossJoin(nRow)
+      .select(col("v"), col("deg"), expr("1000000000000 div nv").as("pr"))
+    for (_ <- 1 to iters) {
+      val agg = sym
+        .join(pr.select(col("v").as("src"), expr("pr div deg").as("c")),
+          Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .withColumnRenamed("dst", "v")
+      pr = verts.crossJoin(nRow).join(agg, Seq("v"), "left")
+        .select(col("v"), col("deg"),
+          (expr("150000000000 div nv") +
+            expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
+    }
+    pr
+  }
+}

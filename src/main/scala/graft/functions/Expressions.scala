@@ -91,6 +91,47 @@ object HashKernels {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
   }
+
+  /** Bloom probe positions by Kirsch-Mitzenmacher double hashing
+    * (Kirsch & Mitzenmacher 2006: g_i = h1 + i·h2 preserves the
+    * asymptotic false-positive rate with only two base hashes). The
+    * base hashes are xxhash64 remixes of the 64-bit key under two
+    * fixed odd seeds; h2 is forced odd so the probe stride never
+    * degenerates. Build (setBits) and probe (bloomContains) share this
+    * arithmetic verbatim, so no-false-negatives is structural, not a
+    * property a refactor can silently break. */
+  @inline private def bloomH1(g: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(g, 0x9e3779b97f4a7c15L)
+  @inline private def bloomH2(g: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(g, 0xc2b2ae3d27d4eb4fL) | 1L
+
+  def bloomSetBits(words: Array[Long], g: Long, mBits: Int, k: Int): Unit = {
+    val h1 = bloomH1(g); val h2 = bloomH2(g)
+    var i = 0
+    while (i < k) {
+      val h = h1 + i.toLong * h2
+      val pos = (((h % mBits) + mBits) % mBits).toInt
+      words(pos >>> 6) |= (1L << (pos & 63))
+      i += 1
+    }
+  }
+
+  /** Membership probe against the word array a BloomFilterAgg built —
+    * callable from generated code (the hot corpus-side prefilter). */
+  def bloomContains(bits: org.apache.spark.sql.catalyst.util.ArrayData,
+      g: Long, mBits: Int, k: Int): Boolean = {
+    val h1 = bloomH1(g); val h2 = bloomH2(g)
+    var i = 0
+    while (i < k) {
+      val h = h1 + i.toLong * h2
+      val pos = (((h % mBits) + mBits) % mBits).toInt
+      if (((bits.getLong(pos >>> 6) >>> (pos & 63)) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** Static vector kernels shared by interpreted eval and generated code.
@@ -497,6 +538,194 @@ case class CountMinSketchAgg(child: Expression, depth: Int, width: Int,
       cs: IndexedSeq[Expression]): CountMinSketchAgg = copy(child = cs.head)
 }
 
+/** Bloom-filter bitset buffer: mBits packed into longs. */
+final class BloomBuffer(val mBits: Int, val k: Int) {
+  val words = new Array[Long]((mBits + 63) >>> 6)
+  def add(g: Long): Unit = HashKernels.bloomSetBits(words, g, mBits, k)
+}
+
+/** Bloom filter of a 64-bit key column as a native
+  * TypedImperativeAggregate: the aggregation state is ONE fixed
+  * mBits/8-byte bitset per map partition, merged by bitwise OR — the
+  * mergeable-sketch shape again (see CountMinSketchAgg), sized in BITS
+  * per distinct key instead of the 8 BYTES a broadcast join key set
+  * costs. At 10⁹ eval grams, 10 bits/key is a 1.25 GB broadcast where
+  * the exact gram set is 8 GB — the difference between a filter every
+  * executor can hold and one it cannot. No false negatives by
+  * construction (probe shares bloomSetBits' arithmetic), so an exact
+  * residual join downstream makes the composite operator EXACT — the
+  * sketch only prunes the big side before the exchange. */
+case class BloomFilterAgg(child: Expression, mBits: Int, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[BloomBuffer] {
+  import org.apache.spark.sql.types._
+  require(mBits > 0 && (mBits & 63) == 0, "mBits must be a positive multiple of 64")
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires bigint input, got ${t.catalogString}")
+    }
+
+  override def createAggregationBuffer(): BloomBuffer = new BloomBuffer(mBits, k)
+  override def update(b: BloomBuffer, row: InternalRow): BloomBuffer = {
+    val v = child.eval(row)
+    if (v != null) b.add(v.asInstanceOf[Long])
+    b
+  }
+  override def merge(b: BloomBuffer, o: BloomBuffer): BloomBuffer = {
+    var i = 0
+    while (i < b.words.length) { b.words(i) |= o.words(i); i += 1 }
+    b
+  }
+  override def eval(b: BloomBuffer): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(b.words)
+  override def serialize(b: BloomBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * b.words.length)
+    var i = 0
+    while (i < b.words.length) { bb.putLong(b.words(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): BloomBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new BloomBuffer(mBits, k)
+    var i = 0
+    while (i < b.words.length) { b.words(i) = bb.getLong; i += 1 }
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): BloomFilterAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomFilterAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): BloomFilterAgg = copy(child = cs.head)
+}
+
+/** Native membership probe against a BloomFilterAgg bitset — a static
+  * call inside whole-stage codegen, so the corpus-side prefilter runs
+  * at scan speed. left = array<bigint> bitset (a broadcast-joined
+  * column), right = the bigint key. */
+case class BloomContains(left: Expression, right: Expression,
+    mBits: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, bigint), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def nullSafeEval(bits: Any, g: Any): Any =
+    HashKernels.bloomContains(
+      bits.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      g.asInstanceOf[Long], mBits, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, g) =>
+      s"graft.functions.HashKernels.bloomContains($b, $g, $mBits, $k)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BloomContains = copy(left = l, right = r)
+}
+
+/** HyperLogLog register buffer: m = 2^p max-of-rank registers
+  * (Flajolet et al. 2007). The rank rho is the 1-based position of
+  * the LOWEST set bit of the hash's (64-p)-bit suffix — the LSB-rank
+  * convention of Flajolet's original PCSA, chosen deliberately over
+  * the MSB (leading-zeros) form: FNV-1a's high bits are measurably
+  * biased on short similar keys (rho ≈ 11 for nearly every "tokN"
+  * key — a 13× estimate inflation), while its low-bit rank is cleanly
+  * geometric. An all-zero suffix takes the conventional width+1. */
+final class HllBuffer(val m: Int) {
+  val p: Int = java.lang.Integer.numberOfTrailingZeros(m)
+  val regs = new Array[Byte](m)
+  def add(s: UTF8String): Unit = {
+    val h = HashKernels.fnv1a64(s)
+    val bucket = (h & (m - 1)).toInt
+    val w = h >>> p
+    val rho =
+      if (w == 0L) 64 - p + 1
+      else java.lang.Long.numberOfTrailingZeros(w) + 1
+    if (rho > regs(bucket)) regs(bucket) = rho.toByte
+  }
+}
+
+/** Global HyperLogLog sketch of a string column as a native
+  * TypedImperativeAggregate: the state is ONE m-byte register array
+  * per map partition, merged by elementwise max — so a corpus-wide
+  * distinct-cardinality estimate crosses the Exchange as m bytes where
+  * COUNT(DISTINCT) shuffles every distinct value. Deterministic (FNV
+  * key hash, power-of-two bucketing), so an oracle can rebuild the
+  * identical registers from the raw data: bucket = h mod m, rank =
+  * trailing zeros of h÷m plus one (LSB-rank — see HllBuffer for why
+  * not leading zeros). The estimate is integer arithmetic downstream
+  * (Σ 2^(width+1-reg) scaled — see q88), never a float the engines
+  * could round differently. */
+case class HllSketchAgg(child: Expression, m: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[HllBuffer] {
+  import org.apache.spark.sql.types._
+  require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${t.catalogString}")
+    }
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(m)
+  override def update(b: HllBuffer, row: InternalRow): HllBuffer = {
+    val v = child.eval(row)
+    if (v != null) b.add(v.asInstanceOf[UTF8String])
+    b
+  }
+  override def merge(b: HllBuffer, o: HllBuffer): HllBuffer = {
+    var i = 0
+    while (i < m) {
+      if (o.regs(i) > b.regs(i)) b.regs(i) = o.regs(i)
+      i += 1
+    }
+    b
+  }
+  override def eval(b: HllBuffer): Any = {
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) { out(i) = b.regs(i).toInt; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+  override def serialize(b: HllBuffer): Array[Byte] = b.regs.clone()
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val b = new HllBuffer(m)
+    System.arraycopy(bytes, 0, b.regs, 0, m)
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): HllSketchAgg = copy(child = cs.head)
+}
+
 object Expressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -516,6 +745,12 @@ object Expressions {
   def cmsSketch(c: Column, depth: Int, width: Int): Column =
     column(CountMinSketchAgg(expression(c), depth, width)
       .toAggregateExpression())
+  def bloomFilter(c: Column, mBits: Int, k: Int): Column =
+    column(BloomFilterAgg(expression(c), mBits, k).toAggregateExpression())
+  def bloomContains(bits: Column, c: Column, mBits: Int, k: Int): Column =
+    column(BloomContains(expression(bits), expression(c), mBits, k))
+  def hllSketch(c: Column, m: Int): Column =
+    column(HllSketchAgg(expression(c), m).toAggregateExpression())
 
   /** SQL registration so the expressions are usable from spark.sql. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

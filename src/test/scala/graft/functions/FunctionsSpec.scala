@@ -652,4 +652,87 @@ class DedupSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     assert(sk == Seq(3L, 3L), "every non-null lands in the single cell")
   }
+
+  test("bloomFilter + bloomContains: no false negatives across merges") {
+    val keys = (0L until 500L).map(_ * 7919L)
+    val df = spark.createDataFrame(keys.map(Tuple1(_))).toDF("g")
+      .repartition(8) // force partial bitsets + OR-merge + serde
+    val (mBits, k) = (4096, 3)
+    val bloom = df.agg(Expressions.bloomFilter($"g", mBits, k).as("bf"))
+    // membership probe through the native expression (codegen path)
+    val missed = df.crossJoin(broadcast(bloom))
+      .filter(!Expressions.bloomContains($"bf", $"g", mBits, k))
+      .count()
+    assert(missed == 0, "bloom produced a false negative")
+    // sanity on false positives: at ~0.12 expected fp rate, absent
+    // keys must not ALL pass (that would mean a saturated/broken bitset)
+    val absent = spark.createDataFrame(
+      (1L to 1000L).map(i => Tuple1(i * 7919L + 1L))).toDF("g")
+    val fp = absent.crossJoin(broadcast(bloom))
+      .filter(Expressions.bloomContains($"bf", $"g", mBits, k))
+      .count()
+    assert(fp < 500, s"false-positive rate implausibly high: $fp/1000")
+  }
+
+  test("bloomFilter: nulls skipped; probe arithmetic shared with build") {
+    val df = spark.createDataFrame(
+      Seq(Some(42L), None, Some(99L)).map(Tuple1(_))).toDF("g")
+    val bits = df.agg(Expressions.bloomFilter($"g", 256, 3).as("bf"))
+      .collect().head.getSeq[Long](0)
+    assert(bits.length == 4)
+    // exactly the bits bloomSetBits sets for {42, 99} — probe and build
+    // share HashKernels arithmetic, so recompute independently here
+    val words = new Array[Long](4)
+    HashKernels.bloomSetBits(words, 42L, 256, 3)
+    HashKernels.bloomSetBits(words, 99L, 256, 3)
+    assert(bits == words.toSeq, "aggregate bitset != kernel bitset")
+  }
+
+  /** Reference HLL register computation (mirrors HllBuffer.add). */
+  private def hllRegsOf(values: Seq[String], m: Int): Seq[Int] = {
+    val p = java.lang.Integer.numberOfTrailingZeros(m)
+    val regs = new Array[Int](m)
+    values.foreach { v =>
+      val h = HashKernels.fnv1a64(UTF8String.fromString(v))
+      val b = (h & (m - 1)).toInt
+      val w = h >>> p
+      val rho = if (w == 0L) 64 - p + 1
+        else java.lang.Long.numberOfTrailingZeros(w) + 1
+      if (rho > regs(b)) regs(b) = rho
+    }
+    regs.toSeq
+  }
+
+  test("hllSketch: registers match reference; merge == single partition") {
+    val values = (0 until 800).map(i => s"tok$i")
+    val df = spark.createDataFrame(values.map(Tuple1(_))).toDF("t")
+    val one = df.coalesce(1)
+      .agg(Expressions.hllSketch($"t", 64).as("r"))
+      .collect().head.getSeq[Int](0)
+    val many = df.repartition(16) // partial registers + max-merge + serde
+      .agg(Expressions.hllSketch($"t", 64).as("r"))
+      .collect().head.getSeq[Int](0)
+    assert(one == many, "register merge is not order/partition invariant")
+    assert(one == hllRegsOf(values, 64), "registers != reference kernel")
+    // duplicates never move a register (max is idempotent)
+    val dup = spark.createDataFrame(
+      (values ++ values ++ values).map(Tuple1(_))).toDF("t")
+      .repartition(8)
+      .agg(Expressions.hllSketch($"t", 64).as("r"))
+      .collect().head.getSeq[Int](0)
+    assert(dup == one, "multiset HLL != set HLL")
+    // estimate sanity: integer-arithmetic estimate within 3σ ≈ 39%
+    // of the true 800 (σ ≈ 1.04/√64 = 13% for m=64)
+    val s = one.map(r => BigInt(1) << (59 - r)).sum
+    val est = (BigInt(2905) * (BigInt(1) << 59) / s).toLong
+    assert(est > 800 * 0.61 && est < 800 * 1.39, s"estimate $est vs 800")
+  }
+
+  test("hllSketch: nulls skipped; empty input = all-zero registers") {
+    val df = spark.createDataFrame(
+      Seq(Option.empty[String], None).map(Tuple1(_))).toDF("t")
+    val regs = df.agg(Expressions.hllSketch($"t", 64).as("r"))
+      .collect().head.getSeq[Int](0)
+    assert(regs == Seq.fill(64)(0))
+  }
 }

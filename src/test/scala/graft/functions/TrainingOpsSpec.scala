@@ -158,4 +158,100 @@ class TrainingOpsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(out === Map((0, 0) -> 2L, (1, 0) -> 2L, (1, 1) -> 1L))
   }
+
+  test("packSequences: pencil-derived spans at L=4") {
+    import spark.implicits._
+    // stream (EOS after each doc): d1 = 3 toks [0,3), EOS@3;
+    // d2 = 6 toks [4,10), EOS@10; d3 = 1 tok [11,12), EOS@12.
+    // L=4 cuts: seq0=[0,4) seq1=[4,8) seq2=[8,12)
+    // d1 → (0, doc_off 0, seq_off 0, n 3)
+    // d2 → (1, 0, 0, 4) and (2, 4, 0, 2)
+    // d3 → (2, 0, 3, 1)
+    val docs = Seq((1L, "a b c"), (2L, "d e f g h i"), (3L, "j"))
+      .toDF("doc_id", "text")
+    val out = Corpus.packSequences(docs, "text", "doc_id", seqLen = 4L)
+      .orderBy("doc_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out === Seq(
+      (0L, 1L, 0L, 0L, 3L),
+      (1L, 2L, 0L, 0L, 4L),
+      (2L, 2L, 4L, 0L, 2L),
+      (2L, 3L, 0L, 3L, 1L)))
+  }
+
+  test("packSequences: two-phase shard sum equals the sequential scan") {
+    import spark.implicits._
+    // irregular doc lengths across several shard boundaries
+    val docs = (0L until 23L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(8)
+    val a = Corpus.packSequences(docs, "text", "doc_id",
+      seqLen = 16L, shardSize = 3L).orderBy("seq_id", "doc_id").collect()
+    val b = Corpus.packSequences(docs, "text", "doc_id",
+      seqLen = 16L, shardSize = 1000L).orderBy("seq_id", "doc_id").collect()
+    assert(a.toSeq === b.toSeq,
+      "sharded prefix sum diverged from the single-shard scan")
+    // reassembly invariant: each doc's pieces sum to its token count,
+    // in contiguous doc_off order
+    val byDoc = a.map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .groupBy(_._1)
+    byDoc.foreach { case (id, pieces) =>
+      val sorted = pieces.sortBy(_._2)
+      assert(sorted.head._2 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(p, q) => assert(p._2 + p._3 == q._2,
+          s"doc $id pieces not contiguous")
+        case _ =>
+      }
+      assert(sorted.map(_._3).sum == (id % 7 + 1),
+        s"doc $id pieces do not reassemble")
+    }
+  }
+
+  test("pagerank: hand-computed integer fixed point on a path graph") {
+    import spark.implicits._
+    // A(1)-B(2)-C(3): N=3, pr0 = 10^12 div 3 = 333333333333
+    // contribs: A→B 333333333333; B→{A,C} 166666666666 each
+    // pr1(A)=pr1(C) = 150000000000 div 3 + (85·166666666666) div 100
+    //   = 50000000000 + 141666666666 = 191666666666
+    // pr1(B) = 50000000000 + (85·666666666666) div 100 = 616666666666
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("sa", "sb")
+    val out = Corpus.pagerank(e, iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out === Map(
+      1L -> (1L, 191666666666L),
+      2L -> (2L, 616666666666L),
+      3L -> (1L, 191666666666L)))
+    Dedup.releaseCaches()
+  }
+
+  test("pagerank: mass stays ≤ 1 and the star center dominates") {
+    import spark.implicits._
+    val e = (2L to 9L).map(i => (1L, i)).toDF("sa", "sb")
+    val out = Corpus.pagerank(e, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // floor divisions only shed mass, never create it
+    assert(out.values.sum <= 1000000000000L)
+    assert((2L to 9L).forall(i => out(1L) > out(i)),
+      "star center must outrank every leaf")
+    assert((3L to 9L).forall(i => out(i) == out(2L)),
+      "leaves are symmetric, ranks must tie")
+    Dedup.releaseCaches()
+  }
+
+  test("rareGramEdges: df window keeps shared grams, drops common/unique") {
+    import spark.implicits._
+    // k=2 grams; "x y" appears in docs 1,2 (df 2 → edge), "c c" in all
+    // four (df 4 > dfMax 3 → no edge), the rest unique
+    val docs = Seq(
+      (1L, "x y a c c"), (2L, "x y b c c"),
+      (3L, "p q r c c"), (4L, "s t u c c")).toDF("doc_id", "text")
+    val e = Corpus.rareGramEdges(docs, "text", "doc_id",
+      k = 2, dfMin = 2, dfMax = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e === Set((1L, 2L)))
+    Dedup.releaseCaches()
+  }
 }

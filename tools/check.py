@@ -26,8 +26,13 @@ for name in sorted(os.listdir(out)):
     rc = sorted(res.columns); ec = sorted(exp.columns)
     if rc != ec:
         print(f"{name}: SCHEMA-MISMATCH spark={rc} duck={ec}"); fails += 1; continue
-    r = res[rc].astype(str).apply(lambda row: "|".join(row), axis=1).sort_values().tolist()
-    e = exp[ec].astype(str).apply(lambda row: "|".join(row), axis=1).sort_values().tolist()
+    def rows(df, cols):  # apply() on an empty frame yields a DataFrame
+        if len(df) == 0:
+            return []
+        return df[cols].astype(str).apply(
+            lambda row: "|".join(row), axis=1).sort_values().tolist()
+    r = rows(res, rc)
+    e = rows(exp, ec)
     if len(r) != len(e):
         print(f"{name}: ROWCOUNT-MISMATCH spark={len(r)} duck={len(e)}"); fails += 1; continue
     if r != e:
