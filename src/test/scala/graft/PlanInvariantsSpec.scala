@@ -104,7 +104,8 @@ class PlanInvariantsSpec extends SparkSpec {
         "q73_temperature_sample", "q76_tfidf_topterms",
         "q77_incremental_dedup", "q78_pmi_phrases",
         "q81_bm25_topk", "q82_bigram_surprisal",
-        "q83_hard_negatives", "q85_cms_counts")) {
+        "q83_hard_negatives", "q85_cms_counts",
+        "q88_hll_distinct", "q90_pagerank")) {
       val df = fresh(q)
       df.collect()
       val scans = PlanAudit.distinctFileScans(df.queryExecution.executedPlan)
@@ -113,6 +114,25 @@ class PlanInvariantsSpec extends SparkSpec {
           "a multi-consumer subtree is re-reading the corpus instead of " +
           "the persisted relation")
     }
+    spark.sharedState.cacheManager.clearCache()
+    functions.Dedup.releaseCaches()
+  }
+
+  test("q87: bloom build and residual join share ONE cached eval relation") {
+    // q87's TRAIN side is synthesized as non-eval ∪ shifted-eval — two
+    // FileScan branches of the same file by construction (in production
+    // they are two tables), so the q56-family queries can't sit in the
+    // exactly-1 list above. The invariant that CAN regress is the eval
+    // side: the bloom build and the residual semi join must both read
+    // the one persisted eval-gram relation. 3 distinct scans = healthy
+    // (two train branches + the cached eval subtree); 4 = the cache
+    // broke and the eval corpus is being re-read.
+    val df = fresh("q87_bloom_decontaminate")
+    df.collect()
+    val scans = PlanAudit.distinctFileScans(df.queryExecution.executedPlan)
+    assert(scans.size == 3,
+      s"q87: expected 3 distinct FileScans (2 synthesis branches + 1 " +
+        s"cached eval side), found ${scans.size}")
     spark.sharedState.cacheManager.clearCache()
     functions.Dedup.releaseCaches()
   }
