@@ -957,6 +957,23 @@ object TrainingQueries {
         .select(col("v").as("doc_id"), col("deg"),
           col("pr").as("pr_micro"))),
 
+    // product-quantization ANN (Jégou et al. 2011) — the missing
+    // member of the ANN family (brute force q28, sign-LSH q33, IVF
+    // q38/q46, Lloyd-refined q52/q65): 8 subspaces × 16 sub-centroids,
+    // ADC ranking in exact 1e-12 integer units; scale rationale and
+    // exactness discipline on Ann.pqTopK
+    "q91_pq_ann" -> ((s, dir) =>
+      Ann.pqTopK(embs(s, dir), "embedding", "vec_id",
+        queryVec(s, dir), 10)),
+
+    // document containment (Broder's asymmetric metric) over the rare-
+    // 8-gram candidate pairs — catches the small-doc-inside-big-doc
+    // duplicates whose Jaccard is tiny; semantics, caps, and the
+    // integer-basis-point exactness on Corpus.containmentPairs
+    "q92_containment" -> ((s, dir) =>
+      Corpus.containmentPairs(docs(s, dir), "text", "doc_id",
+        k = 8, dfMin = 2, dfMax = 4)),
+
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
     // scores each doc by its mean token surprisal −ln(cnt/total). The
@@ -1822,6 +1839,73 @@ object TrainingQueries {
          |FROM sp""".stripMargin,
 
     "q90_pagerank" -> pagerankSql(3),
+
+    // rebuilds the codebook (16 lowest-id vectors), every vector's 8
+    // sub-codes (first-min tie rule = the engine's array_position),
+    // the query's integer-quantized distance table, and the exact
+    // BIGINT ADC sum — the relational form of Ann.pqTopK
+    "q91_pq_ann" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |  WHERE len(embedding) = 64),
+         |cb AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+         |         embedding::DOUBLE[] AS c
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |subs AS (SELECT unnest(range(8)) AS mi),
+         |cd AS (
+         |  SELECT v.vec_id, s.mi, cb.k,
+         |    ${l2sqSql("list_slice(v.e, s.mi*8+1, s.mi*8+8)",
+                        "list_slice(cb.c, s.mi*8+1, s.mi*8+8)")} AS dist
+         |  FROM v, subs s, cb),
+         |codes AS (
+         |  SELECT vec_id, mi, k AS code FROM (
+         |    SELECT vec_id, mi, k,
+         |      row_number() OVER (PARTITION BY vec_id, mi
+         |                         ORDER BY dist, k) AS rn
+         |    FROM cd) WHERE rn = 1),
+         |q0 AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+         |       WHERE vec_id = 0),
+         |t AS (
+         |  SELECT s.mi, cb.k,
+         |    CAST(floor(${l2sqSql("list_slice(q0.e, s.mi*8+1, s.mi*8+8)",
+                                   "list_slice(cb.c, s.mi*8+1, s.mi*8+8)")}
+         |         * 1000000000000 + 0.5) AS BIGINT) AS ts
+         |  FROM q0, subs s, cb),
+         |d AS (
+         |  SELECT vec_id, CAST(sum(ts) AS BIGINT) AS dist_micro
+         |  FROM codes JOIN t ON codes.mi = t.mi AND codes.code = t.k
+         |  GROUP BY vec_id)
+         |SELECT vec_id, dist_micro FROM d
+         |ORDER BY dist_micro, vec_id LIMIT 10""".stripMargin,
+
+    "q92_containment" -> {
+      val gramJoin = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents
+         |      WHERE len(trim(text)) > 0),
+         |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-6),
+         |        i -> $gramJoin)) AS g FROM d),
+         |gh AS (SELECT DISTINCT doc_id, ${fnvSql("g")} AS g FROM g0),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM gh GROUP BY doc_id),
+         |rare AS (SELECT g FROM gh GROUP BY g
+         |         HAVING count(*) BETWEEN 2 AND 4),
+         |rt AS (SELECT doc_id, g FROM gh
+         |       WHERE g IN (SELECT g FROM rare)),
+         |e AS (SELECT DISTINCT a.doc_id AS sa, b.doc_id AS sb
+         |      FROM rt a JOIN rt b USING (g) WHERE a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT e.sa, e.sb, count(*) AS shared
+         |  FROM e
+         |  JOIN gh ga ON ga.doc_id = e.sa
+         |  JOIN gh gb ON gb.doc_id = e.sb AND gb.g = ga.g
+         |  GROUP BY e.sa, e.sb)
+         |SELECT sa, sb, shared,
+         |  (shared * 10000) // za.sz AS cont_a_bp,
+         |  (shared * 10000) // zb.sz AS cont_b_bp
+         |FROM inter
+         |JOIN sizes za ON za.doc_id = sa
+         |JOIN sizes zb ON zb.doc_id = sb""".stripMargin
+    },
 
     "q82_bigram_surprisal" ->
       s"""WITH toksrc AS (

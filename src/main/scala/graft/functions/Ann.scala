@@ -373,4 +373,72 @@ object Ann {
       bucketed.filter(col("lsh_bucket").isin(probes: _*)),
       vecCol, idCol, query, k)
   }
+
+  /** Product-quantization ANN (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split the dim-d space
+    * into m subspaces, quantize each sub-vector to its nearest of ksub
+    * sub-centroids (seed-sample codebook — the ksub lowest-id vectors,
+    * the [[ivfCentroids]] convention), and rank by asymmetric distance
+    * (ADC): dist(v) = Σ_m T[m][code_m(v)] where T is the query-to-
+    * sub-centroid distance table.
+    *
+    * Why it scales: a vector's scan footprint shrinks from d floats to
+    * m small codes (8 codes of 4 bits here — 256× less than 64×float32
+    * at 10⁹ vectors), the per-vector distance is m table lookups + m
+    * integer adds instead of d multiplies, and the codebook + T are
+    * bounded driver tables embedded as literals, so encoding and ADC
+    * are pure codegen projections ending in TakeOrderedAndProject —
+    * zero exchanges before the k-row result.
+    *
+    * Exactness discipline: sub-distances are left-to-right double
+    * folds (ArrayL2Sq == the oracle's list_reduce), argmin ties break
+    * to the lowest code on both sides, and each T entry is quantized
+    * ONCE to integer 1e-12 units — the ADC sum is then exact BIGINT
+    * arithmetic, immune to float summation order. Encoding staged
+    * column-by-column (slices → 16-distance arrays → argmin) so the
+    * O(sub) l2sq subtree is never duplicated per element (the staging
+    * rule documented on [[withNormalized]]). */
+  def pqTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
+    requireNoStagingCols(df)
+    val dim = query.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val seeds = ivfCentroids(df, vecCol, idCol, ksub)
+    // T[m][k] in 1e-12 integer units; the double fold + the floor
+    // quantization replicate the oracle's SQL ops bit-for-bit
+    val tScaled: Array[Array[Long]] = Array.tabulate(m) { mi =>
+      seeds.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < sub) {
+          val d = query(mi * sub + i) - c(mi * sub + i)
+          s += d * d
+          i += 1
+        }
+        math.floor(s * 1e12 + 0.5).toLong
+      }
+    }
+    var d = df.filter(size(col(vecCol)) === dim)
+      .withColumn("_graft_v", asDouble(col(vecCol)))
+    for (mi <- 0 until m)
+      d = d.withColumn(s"_graft_s$mi",
+        slice(col("_graft_v"), mi * sub + 1, sub))
+    for (mi <- 0 until m)
+      d = d.withColumn(s"_graft_d$mi", array(seeds.map { c =>
+        Expressions.arrayL2Sq(col(s"_graft_s$mi"),
+          array(c.slice(mi * sub, (mi + 1) * sub).map(lit): _*))
+      }: _*))
+    val dist = (0 until m).map { mi =>
+      // array_position = FIRST index of the min (1-based) → code is
+      // the lowest tying sub-centroid, matching the oracle's
+      // row_number ORDER BY dist, k
+      element_at(typedLit(tScaled(mi).toSeq),
+        array_position(col(s"_graft_d$mi"),
+          array_min(col(s"_graft_d$mi"))).cast("int"))
+    }.reduce(_ + _)
+    d.select(col(idCol), dist.as("dist_micro"))
+      .orderBy(col("dist_micro"), col(idCol))
+      .limit(k)
+  }
 }

@@ -68,9 +68,12 @@ object Corpus {
     * The gram relation is persisted (tracked for release): it feeds
     * both the df count and the pair join — one text scan.
     */
-  def rareGramEdges(df: DataFrame, textCol: String, idCol: String,
-      k: Int, dfMin: Int, dfMax: Int): DataFrame = {
-    val grams = Dedup.trackPersisted(df
+  /** Distinct `(idCol, g)` hashed k-gram relation, persisted (tracked
+    * for release) so every consumer — df counts, pair joins, size
+    * counts, intersections — re-derives from ONE text scan. */
+  def hashedGrams(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    Dedup.trackPersisted(df
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("t"))
       .filter(col("t").isNotNull)
@@ -78,6 +81,17 @@ object Corpus {
         TextFunctions.shinglesFromTokens(col("t"), k))).as("g"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK))
+
+  def rareGramEdges(df: DataFrame, textCol: String, idCol: String,
+      k: Int, dfMin: Int, dfMax: Int): DataFrame =
+    rareGramEdgesFrom(hashedGrams(df, textCol, idCol, k), idCol,
+      dfMin, dfMax)
+
+  /** The edge join over an existing gram relation (see
+    * [[hashedGrams]]); kept separate so multi-consumer operators can
+    * reuse one persisted gram relation for edges AND other joins. */
+  def rareGramEdgesFrom(grams: DataFrame, idCol: String,
+      dfMin: Int, dfMax: Int): DataFrame = {
     val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c").between(dfMin, dfMax)).select(col("g"))
     val rt = grams.join(rare, Seq("g"))
@@ -85,6 +99,38 @@ object Corpus {
       .join(rt.select(col("g"), col(idCol).as("sb")), Seq("g"))
       .filter(col("sa") < col("sb"))
       .select(col("sa"), col("sb")).distinct()
+  }
+
+  /** Document containment (Broder 1997's asymmetric resemblance
+    * companion): for candidate pairs sharing a rare k-gram, the exact
+    * shared-gram count and both direction containments C(A→B) =
+    * |grams(A) ∩ grams(B)| / |grams(A)| — the subset-duplicate signal
+    * Jaccard misses when a small doc is embedded in a much larger one
+    * (their Jaccard is tiny; the small side's containment is ~1).
+    *
+    * Scale shape: candidates come from the df∈[dfMin,dfMax] band
+    * (bounded pairs per gram — the occupancy cap), the intersection is
+    * a relational gram join over the candidate pairs only (never
+    * all-pairs), and the whole query re-derives from ONE persisted
+    * gram relation. Exactness: containments are integer basis points —
+    * (shared·10⁴) div size — floor division both engines share. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int, dfMin: Int, dfMax: Int): DataFrame = {
+    val grams = hashedGrams(df, textCol, idCol, k)
+    val e = rareGramEdgesFrom(grams, idCol, dfMin, dfMax)
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = e
+      .join(grams.select(col(idCol).as("sa"), col("g")), Seq("sa"))
+      .join(grams.select(col(idCol).as("sb"), col("g")), Seq("sb", "g"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.select(col(idCol).as("sa"), col("sz").as("sza")),
+        Seq("sa"))
+      .join(sizes.select(col(idCol).as("sb"), col("sz").as("szb")),
+        Seq("sb"))
+      .select(col("sa"), col("sb"), col("shared"),
+        expr("(shared * 10000) div sza").as("cont_a_bp"),
+        expr("(shared * 10000) div szb").as("cont_b_bp"))
   }
 
   /** PageRank-style centrality over an undirected graph given as

@@ -105,7 +105,8 @@ class PlanInvariantsSpec extends SparkSpec {
         "q77_incremental_dedup", "q78_pmi_phrases",
         "q81_bm25_topk", "q82_bigram_surprisal",
         "q83_hard_negatives", "q85_cms_counts",
-        "q88_hll_distinct", "q90_pagerank")) {
+        "q88_hll_distinct", "q90_pagerank",
+        "q92_containment")) {
       val df = fresh(q)
       df.collect()
       val scans = PlanAudit.distinctFileScans(df.queryExecution.executedPlan)

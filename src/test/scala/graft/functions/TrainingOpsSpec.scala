@@ -241,6 +241,44 @@ class TrainingOpsSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("containmentPairs: embedded doc reads ~1.0 on its side, low on the host's") {
+    import spark.implicits._
+    // k=2. Doc 1 ("x y z") is fully embedded in doc 2; doc 3 unrelated.
+    // grams(1) = {x y, y z} (sz 2), both also in doc 2 (df 2 → both
+    // candidate grams). grams(2) = {a b, b x, x y, y z, z c, c d} sz 6.
+    // shared = 2 → cont_1 = 10000 bp, cont_2 = 20000/6 = 3333 bp.
+    val docs = Seq(
+      (1L, "x y z"),
+      (2L, "a b x y z c d"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val out = Corpus.containmentPairs(docs, "text", "doc_id",
+      k = 2, dfMin = 2, dfMax = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 2L, 2L, 10000L, 3333L)))
+    Dedup.releaseCaches()
+  }
+
+  test("pqTopK: ADC distance is exact when vectors coincide with codebook subspaces") {
+    import spark.implicits._
+    // dim 4, m=2 subspaces of 2, ksub=2 codebook = vecs 0,1.
+    // Every vector's sub-slices coincide with a sub-centroid, so the
+    // quantization is lossless and ADC == true squared distance to the
+    // query (vec 0 at origin), in 1e-12 units:
+    // v0 (0,0,0,0) → 0; v1 (1,1,1,1) → 4e12
+    // v2 (0,0,1,1) → 2e12; v3 (1,1,0,0) → 2e12 (tie → vec_id order)
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), (1L, Array(1f, 1f, 1f, 1f)),
+      (2L, Array(0f, 0f, 1f, 1f)), (3L, Array(1f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.pqTopK(vecs, "embedding", "vec_id",
+      Seq(0.0, 0.0, 0.0, 0.0), k = 4, m = 2, ksub = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq(
+      (0L, 0L), (2L, 2000000000000L), (3L, 2000000000000L),
+      (1L, 4000000000000L)))
+  }
+
   test("rareGramEdges: df window keeps shared grams, drops common/unique") {
     import spark.implicits._
     // k=2 grams; "x y" appears in docs 1,2 (df 2 → edge), "c c" in all
