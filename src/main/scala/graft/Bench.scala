@@ -307,9 +307,19 @@ object Bench {
       if (allForeign.nonEmpty) pct(allForeign, 0.5) else 0.0
     val extractNoisy = extractSec > 0.3 &&
       math.max(r1._2, r2._2) > 2 * math.min(r1._2, r2._2)
+    // ABSOLUTE-median gates against the committed clean-host reference
+    // (~48 ms CPU / ~14 ms memory, BENCH/BASELINE.md): a contention
+    // window spanning the WHOLE run produces flat spreads — the
+    // round-5 failure mode where a 1.44× elevated (but flat) memory
+    // probe coincided with 4× slower DRAM-bound extraction and the
+    // spread-only verdict still said clean. Spread catches windows
+    // SHORTER than the run; the absolute median catches windows
+    // LONGER than it.
+    val cpuMedElevated = probeMed > 60.0 // 48 ms × 1.25
+    val memMedElevated = memProbeMed > 18.0 // 14 ms × ~1.3
     val noise =
       if (probeSpread > 1.35 || memProbeSpread > 1.5 ||
-        foreignMed > 2.0 ||
+        foreignMed > 2.0 || cpuMedElevated || memMedElevated ||
         noisyQueries + (if (extractNoisy) 1 else 0) >= 5)
         "suspect"
       else "clean"

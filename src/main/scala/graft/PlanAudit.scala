@@ -120,7 +120,10 @@ object PlanAudit {
           "q55_unigram_surprisal", "q64_span_dedup",
           "q66_ann_recall", "q67_dsir_weights",
           "q73_temperature_sample", "q76_tfidf_topterms",
-          "q77_incremental_dedup", "q78_pmi_phrases")) {
+          "q77_incremental_dedup", "q78_pmi_phrases",
+          "q81_bm25_topk", "q82_bigram_surprisal",
+          "q85_cms_counts", "q88_hll_distinct",
+          "q90_pagerank", "q92_containment")) {
         spark.sharedState.cacheManager.clearCache()
         val df = SparkEntry.queries(q)(spark, dir)
         // collect() runs df's OWN QueryExecution (count() would build a

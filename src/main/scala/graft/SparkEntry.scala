@@ -299,6 +299,24 @@ object SparkEntry {
           coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
     }),
 
+    // ORDERED FUNNEL — view → click → purchase, each stage strictly
+    // after the previous stage's anchor (Relational.funnel); per-stage
+    // conversion in integer basis points off stage 1 via an
+    // unbounded-window max (3-row relation — free)
+    "q93_funnel" -> ((s, dir) =>
+      graft.functions.Relational.funnel(tbl(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .withColumn("conv_bp", expr(
+          "(users * 10000) div " +
+            "(max(case when stage = 1 then users end) over ())"))),
+
+    // WEEKLY RETENTION COHORTS — cohort = ISO week of first event,
+    // users counted per (cohort, week offset); Relational
+    // .retentionCohorts documents the shuffle shape + date exactness
+    "q94_retention" -> ((s, dir) =>
+      graft.functions.Relational.retentionCohorts(
+        tbl(s, dir, "events"), "user_id", "ts")),
+
     // North star X1 — full extraction pipeline over the deterministic
     // synthetic transcript table (no SQL oracle: correctness is pinned
     // by golden-equality specs in ExtractionJobSpec/GeneratorGoldenSpec)
@@ -509,6 +527,40 @@ object SparkEntry {
         |FROM p LEFT JOIN c
         |  ON c.uid = p.uid AND c.cts >= p.pts
         | AND c.cts < p.pts + INTERVAL 1 HOUR
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q93_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |u AS (
+        |  SELECT 1 AS stage, count(*) AS users FROM s1
+        |  UNION ALL SELECT 2, count(*) FROM s2
+        |  UNION ALL SELECT 3, count(*) FROM s3)
+        |SELECT stage, users,
+        |  (users * 10000) //
+        |    (max(CASE WHEN stage = 1 THEN users END) OVER ()) AS conv_bp
+        |FROM u""".stripMargin,
+
+    "q94_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |      FROM events),
+        |j AS (
+        |  SELECT cw, ((w::DATE - cw::DATE) // 7)::INT AS week_offset
+        |  FROM a JOIN f USING (user_id))
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+        |       count(*) AS users
+        |FROM j GROUP BY 1, 2""".stripMargin
   )
 }

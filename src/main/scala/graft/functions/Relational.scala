@@ -193,4 +193,68 @@ object Relational {
       .filter(col("_rn") === ceil(lit(p) * col("_n")).cast("int"))
       .select(col(groupCol), col(valCol).as("threshold"))
   }
+
+  /** Strict-sequence funnel: stage i counts the users whose earliest
+    * `steps(i)` event is STRICTLY after their stage-(i-1) anchor time
+    * (the classic ordered-funnel semantics — a click before the first
+    * view does not convert). Returns `(stage, users)`, stage 1-based.
+    *
+    * Scale shape: one `groupBy(user).min(ts)` per stage plus one
+    * equi-join per stage transition — all shuffles on the user key
+    * (high-cardinality, even), the anchor relation shrinks
+    * monotonically stage over stage, and no payload column ever enters
+    * an Exchange. Exactness: pure timestamp comparisons, no arithmetic
+    * to round. */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("_graft_t"))
+      .select(col(userCol).as("_graft_u"), col("_graft_t"))
+    val stages = scala.collection.mutable.ArrayBuffer(
+      cur.agg(count(lit(1)).as("users"))
+        .select(lit(1).as("stage"), col("users")))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      cur = df.filter(col(typeCol) === st)
+        .join(cur, col(userCol) === col("_graft_u") &&
+          col(tsCol) > col("_graft_t"))
+        .groupBy(col("_graft_u"))
+        .agg(min(col(tsCol)).as("_graft_t"))
+      stages += cur.agg(count(lit(1)).as("users"))
+        .select(lit(i + 2).as("stage"), col("users"))
+    }
+    stages.reduce(_ unionByName _)
+  }
+
+  /** Weekly retention cohorts: each user's cohort is the ISO week of
+    * their first event; `users` counts the cohort's distinct users
+    * active in each subsequent week. Returns
+    * `(cohort_week yyyy-MM-dd, week_offset, users)`.
+    *
+    * Scale shape: first-event anchors and distinct (user, week)
+    * activity are both user-keyed aggregations with map-side combine;
+    * the join is user-keyed; the final rollup is the tiny
+    * (#cohorts × #weeks) relation. Exactness: date_trunc('week') is
+    * ISO-Monday in both engines, and the offset is integer day
+    * difference floor-divided by 7. */
+  def retentionCohorts(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val first = df.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("_graft_cw"))
+      .select(col(userCol).as("_graft_u"), col("_graft_cw"))
+    // distinct (user, week): one row per active week, so the final
+    // count(*) per (cohort, offset) IS the distinct-user count
+    val active = df
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("_graft_w"))
+      .distinct()
+    active.join(first, col(userCol) === col("_graft_u"))
+      .select(col("_graft_cw"), expr(
+        "cast(datediff(cast(_graft_w as date), cast(_graft_cw as date)) " +
+          "div 7 as int)").as("week_offset"))
+      .groupBy(col("_graft_cw"), col("week_offset"))
+      .agg(count(lit(1)).as("users"))
+      .select(date_format(col("_graft_cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("users"))
+  }
 }

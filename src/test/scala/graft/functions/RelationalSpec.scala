@@ -152,4 +152,56 @@ class RelationalSpec extends SparkSpec {
       .as[(String, Long, Int, Double)].collect()
     assert(out.toSeq == Seq(("g", 2L, 1023, 1023.0 / 1024)))
   }
+
+  test("funnel: strict sequence — pre-anchor events never convert") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 completes view→click→purchase in order; u2's click PRECEDES
+    // its first view (must not count at stage 2); u3 stops at click;
+    // u4 has only a purchase (not even stage 1)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 11:00:00"), "click"),
+      (4L, ts("2024-01-01 10:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy("stage").as[(Int, Long)].collect()
+    assert(out.toSeq === Seq((1, 3L), (2, 2L), (3, 1L)))
+  }
+
+  test("funnel: same-timestamp step does not convert (strictly after)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click")).orderBy("stage").as[(Int, Long)].collect()
+    assert(out.toSeq === Seq((1, 1L), (2, 0L)))
+  }
+
+  test("retentionCohorts: ISO-week cohort and offsets") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday. u1 first-seen week of Jan 1, active
+    // again in the week of Jan 15 (+2); u2 only the first week; u3
+    // first-seen the SECOND week (its own cohort)
+    val ev = Seq(
+      (1L, ts("2024-01-03 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      (2L, ts("2024-01-01 09:00:00")),
+      (3L, ts("2024-01-10 09:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Relational.retentionCohorts(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .as[(String, Int, Long)].collect()
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0, 2L),
+      ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L)))
+  }
 }
