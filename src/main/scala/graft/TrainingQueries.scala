@@ -974,6 +974,15 @@ object TrainingQueries {
       Corpus.containmentPairs(docs(s, dir), "text", "doc_id",
         k = 8, dfMin = 2, dfMax = 4)),
 
+    // leakage-safe split: q50's near-dup clusters anchor the split
+    // hash, so a dup family can never straddle train/val/test —
+    // guarantees and scale shape on Corpus.leakageSafeSplit
+    "q95_leakage_split" -> ((s, dir) =>
+      Corpus.leakageSafeSplit(docs(s, dir), "doc_id",
+        Dedup.dupClusters(
+          Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
+            n = 3, threshold = 0.2, K, R), "a", "b"))),
+
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
     // scores each doc by its mean token surprisal −ln(cnt/total). The
@@ -1878,6 +1887,33 @@ object TrainingQueries {
          |  GROUP BY vec_id)
          |SELECT vec_id, dist_micro FROM d
          |ORDER BY dist_micro, vec_id LIMIT 10""".stripMargin,
+
+    // the split is a pure function of the reachability clusters (the
+    // q50 oracle) hashed mod 100 — same FNV, same cutoffs
+    "q95_leakage_split" ->
+      s"""WITH RECURSIVE ${jaccardCtes(hashed = false)},
+         |sym AS (SELECT a AS src, b AS dst FROM jp
+         |        UNION SELECT b, a FROM jp),
+         |reach AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster
+         |       FROM reach GROUP BY src),
+         |a AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS anchor
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN cl ON cl.id = d.doc_id),
+         |bkt AS (
+         |  SELECT doc_id, anchor,
+         |    ((${toSigned(fnvSql("CAST(anchor AS VARCHAR)"))} % 100)
+         |     + 100) % 100 AS b
+         |  FROM a)
+         |SELECT doc_id, anchor,
+         |  CASE WHEN b < 80 THEN 'train'
+         |       WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM bkt""".stripMargin,
 
     "q92_containment" -> {
       val gramJoin = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")

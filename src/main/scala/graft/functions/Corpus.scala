@@ -133,6 +133,37 @@ object Corpus {
         expr("(shared * 10000) div szb").as("cont_b_bp"))
   }
 
+  /** Leakage-safe train/val/test split: every doc is assigned by the
+    * hash of its near-dup CLUSTER representative (its own id if
+    * unclustered), so a near-duplicate family can never straddle the
+    * split boundary — the eval-contamination vector a per-doc random
+    * split leaves open (Lee et al. 2021 measure dev-set near-dups from
+    * exactly this). `clusters` is a `(id, cluster)` relation, e.g.
+    * [[Dedup.dupClusters]] output.
+    *
+    * Scale shape: one left join on the id key (the cluster relation is
+    * only dup-family members — a sliver of the corpus) and a pure
+    * codegen hash projection; nothing else. Deterministic: FNV of the
+    * anchor's decimal string mod 100 against integer percent cutoffs —
+    * the same split assignment on every run, engine, and cluster size,
+    * and stable under corpus growth (a doc's split can only change if
+    * its CLUSTER membership changes, never because other docs arrived).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "percent cutoffs must leave room for test")
+    val b = pmod(Expressions.fnv1a64(col("anchor").cast("string")),
+      lit(100L))
+    df.select(col(idCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("anchor"))
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** PageRank-style centrality over an undirected graph given as
     * distinct `(sa, sb)` edges (sa < sb), `iters` power iterations.
     * Returns `(v, deg, pr)` with pr in 1e-12 units.

@@ -279,6 +279,23 @@ class TrainingOpsSpec extends SparkSpec {
       (1L, 4000000000000L)))
   }
 
+  test("leakageSafeSplit: cluster members share a split; singletons anchor to self") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(Tuple1(_)).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (7L, 3L))
+      .toDF("id", "cluster")
+    val out = Corpus.leakageSafeSplit(docs, "doc_id", clusters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out.size == 10)
+    // the leakage guarantee: same cluster → same anchor → same split
+    assert(out(1L)._2 === out(2L)._2 && out(1L)._1 === out(2L)._1)
+    assert(out(3L)._2 === out(7L)._2 && out(3L)._1 === out(7L)._1)
+    // unclustered docs anchor to themselves
+    assert(out(5L)._1 === 5L && out(9L)._1 === 9L)
+    assert(out.values.forall(v => Set("train", "val", "test")(v._2)))
+  }
+
   test("rareGramEdges: df window keeps shared grams, drops common/unique") {
     import spark.implicits._
     // k=2 grams; "x y" appears in docs 1,2 (df 2 → edge), "c c" in all
