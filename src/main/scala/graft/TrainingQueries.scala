@@ -983,6 +983,37 @@ object TrainingQueries {
           Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
             n = 3, threshold = 0.2, K, R), "a", "b"))),
 
+    // filter-ablation funnel: q51's selection decomposed into per-stage
+    // survivor counts — all docs → dedup keeper → confident lang-ID →
+    // quality floor → repetition ceiling (stage 4 == q51's final
+    // count). The report every pipeline runs before committing to a
+    // filter config, and it costs exactly ONE corpus scan at any
+    // scale: every flag is staged in one projection, the cumulative
+    // conjunctions aggregate in one map-side-combined pass, and the
+    // output is a 5-row stack
+    "q96_filter_ablation" -> ((s, dir) => {
+      val scored = Dedup.rankByFingerprint(
+          docs(s, dir).select(col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("q"),
+            TextFunctions.langId(col("text")).as("lang_pred"),
+            TextFunctions.tokens(col("text")).as("t"),
+            md5(TextFunctions.normText(col("text"))).as("fp"))
+          .withColumn("rep", TextFunctions.repetitionFromTokens(col("t")))
+          .drop("t"), "doc_id")
+      val c1 = col("rn") === 1
+      val c2 = c1 && col("lang_pred") =!= "und"
+      val c3 = c2 && col("q") >= 0.5
+      val c4 = c3 && col("rep") <= 0.2
+      scored.agg(
+          count(lit(1)).as("s0"),
+          sum(when(c1, 1L).otherwise(0L)).as("s1"),
+          sum(when(c2, 1L).otherwise(0L)).as("s2"),
+          sum(when(c3, 1L).otherwise(0L)).as("s3"),
+          sum(when(c4, 1L).otherwise(0L)).as("s4"))
+        .selectExpr(
+          "stack(5, 0, s0, 1, s1, 2, s2, 3, s3, 4, s4) as (stage, docs)")
+    }),
+
     // two-pass corpus-statistics scoring (the CCNet-style LM-filter
     // proxy): pass 1 builds the corpus unigram distribution, pass 2
     // scores each doc by its mean token surprisal −ln(cnt/total). The
@@ -1887,6 +1918,31 @@ object TrainingQueries {
          |  GROUP BY vec_id)
          |SELECT vec_id, dist_micro FROM d
          |ORDER BY dist_micro, vec_id LIMIT 10""".stripMargin,
+
+    // cumulative conjunctions over the q51 signal expressions; stage 4
+    // must equal q51's final selection count by construction
+    "q96_filter_ablation" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, $qualitySql AS q, $langPredSql AS lang_pred,
+         |    $repSql AS rep,
+         |    row_number() OVER (PARTITION BY md5($NORM) ORDER BY doc_id)
+         |      AS rn
+         |  FROM documents),
+         |f AS (SELECT
+         |  count(*) AS s0,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |  CAST(sum(CASE WHEN rn = 1 AND lang_pred <> 'und'
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |  CAST(sum(CASE WHEN rn = 1 AND lang_pred <> 'und' AND q >= 0.5
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |  CAST(sum(CASE WHEN rn = 1 AND lang_pred <> 'und' AND q >= 0.5
+         |       AND rep <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+         |  FROM scored)
+         |SELECT 0 AS stage, s0 AS docs FROM f
+         |UNION ALL SELECT 1, s1 FROM f
+         |UNION ALL SELECT 2, s2 FROM f
+         |UNION ALL SELECT 3, s3 FROM f
+         |UNION ALL SELECT 4, s4 FROM f""".stripMargin,
 
     // the split is a pure function of the reachability clusters (the
     // q50 oracle) hashed mod 100 — same FNV, same cutoffs

@@ -106,7 +106,7 @@ class PlanInvariantsSpec extends SparkSpec {
         "q81_bm25_topk", "q82_bigram_surprisal",
         "q83_hard_negatives", "q85_cms_counts",
         "q88_hll_distinct", "q90_pagerank",
-        "q92_containment")) {
+        "q92_containment", "q96_filter_ablation")) {
       val df = fresh(q)
       df.collect()
       val scans = PlanAudit.distinctFileScans(df.queryExecution.executedPlan)
