@@ -123,7 +123,8 @@ object PlanAudit {
           "q77_incremental_dedup", "q78_pmi_phrases",
           "q81_bm25_topk", "q82_bigram_surprisal",
           "q85_cms_counts", "q88_hll_distinct",
-          "q90_pagerank", "q92_containment")) {
+          "q90_pagerank", "q92_containment",
+          "q96_filter_ablation")) {
         spark.sharedState.cacheManager.clearCache()
         val df = SparkEntry.queries(q)(spark, dir)
         // collect() runs df's OWN QueryExecution (count() would build a
