@@ -983,6 +983,36 @@ object TrainingQueries {
           Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
             n = 3, threshold = 0.2, K, R), "a", "b"))),
 
+    // cross-source overlap matrix (corpus provenance): for every
+    // source pair, how many exact content fingerprints they share —
+    // the dedup-planning report that decides which source to keep when
+    // crawls mirror each other. Both sides plant known cross-source
+    // copies (every 25th doc mirrored into a synthetic source — the
+    // q56 injection convention) so the matrix has true positives at
+    // any sf. Scale shape: the self-join key is the fingerprint and
+    // its occupancy is bounded by the SOURCE DIMENSION (≤ #sources
+    // distinct rows per fp — sources are a dimension table, not data);
+    // the fingerprint relation is persisted so the corpus text feeds
+    // both join sides from one materialization.
+    "q97_source_overlap" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 25 === 0)
+          .withColumn("doc_id", col("doc_id") + 400000)
+          .withColumn("source", lit("mirror")))
+      val f = Dedup.trackPersisted(corpus
+        .filter(length(trim(col("text"))) > 0)
+        .select(md5(TextFunctions.normText(col("text"))).as("fp"),
+          col("source"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      f.select(col("fp"), col("source").as("src_a"))
+        .join(f.select(col("fp"), col("source").as("src_b")), Seq("fp"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+    }),
+
     // filter-ablation funnel: q51's selection decomposed into per-stage
     // survivor counts — all docs → dedup keeper → confident lang-ID →
     // quality floor → repetition ceiling (stage 4 == q51's final
@@ -1918,6 +1948,19 @@ object TrainingQueries {
          |  GROUP BY vec_id)
          |SELECT vec_id, dist_micro FROM d
          |ORDER BY dist_micro, vec_id LIMIT 10""".stripMargin,
+
+    "q97_source_overlap" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 400000, text, 'mirror' FROM documents
+         |  WHERE doc_id % 25 = 0),
+         |f AS (SELECT DISTINCT md5($NORM) AS fp, source FROM d0
+         |      WHERE len(trim(text)) > 0)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       count(*) AS shared_fps
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
 
     // cumulative conjunctions over the q51 signal expressions; stage 4
     // must equal q51's final selection count by construction
