@@ -28,8 +28,30 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sizing for forked mains (bench/verify run in-process local[N]):
+// SPARK_DRIVER_MEM is honored up to a 12g ceiling. Measured on this
+// allocation profile: a 24g+ heap pushes G1 into a pathological regime
+// (49.4 s vs 31.9 s on identical work, BENCH/BASELINE.md; the round-5
+// driver capture ran at an 89g heap and read a uniform ~1.3x slower
+// than the same tree at 10g). The clean regime is 8-12g; an Xmx beyond
+// that only ever hurts this workload, so the env override is clamped,
+// not trusted blindly. Scale note: this sizes the LOCAL driver JVM
+// only — cluster executors size their own heaps via spark.executor.*.
+def clampHeap(m: String): String = {
+  val norm = m.trim.toLowerCase
+  val gb: Option[Double] = try {
+    if (norm.endsWith("g")) Some(norm.dropRight(1).toDouble)
+    else if (norm.endsWith("m")) Some(norm.dropRight(1).toDouble / 1024.0)
+    else None
+  } catch { case _: NumberFormatException => None }
+  gb match {
+    case Some(v) if v > 12.0 => "12g"
+    case Some(_) => norm
+    case None => "12g" // unparseable override: fall back to the default
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${clampHeap(sys.env.getOrElse("SPARK_DRIVER_MEM", "12g"))}",
 )
