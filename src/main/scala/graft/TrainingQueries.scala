@@ -14,10 +14,19 @@ import graft.functions.{Ann, Corpus, Dedup, Expressions, TextFunctions}
   */
 object TrainingQueries {
 
+  /** The corpus tables fan out to the session's parallelism at the
+    * source (Exec.fanOutForCpu — a no-op whenever the scan already has
+    * ≥ parallelism splits, i.e. always at real scale): nearly every
+    * consumer runs CPU-heavy per-row work (tokenize / hash / shingle /
+    * normalize) directly above this scan, and the bench-scale tables
+    * are single-row-group files whose one-task scans serialized those
+    * map stages on one core. */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.functions.Exec.fanOutForCpu(
+      s.read.parquet(s"$dir/documents.parquet"))
   private def embs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.functions.Exec.fanOutForCpu(
+      s.read.parquet(s"$dir/embeddings.parquet"))
 
   /** Scale detection by the sf dir's BASENAME, never the full path —
     * `dir.contains("0.1")` would also match a checkout under e.g.
@@ -133,8 +142,10 @@ object TrainingQueries {
     "q26_minhash_sig" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
-          array_distinct(TextFunctions.tokens(col("text"))).as("toks"))
+          TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
+          // the native sig dedups tokens internally (min over the
+          // distinct set == min over the multiset)
           array_join(TextFunctions.minhashSigFromTokens(col("toks"), K), "|")
             .as("sig"))),
 

@@ -73,13 +73,18 @@ object Corpus {
     * counts, intersections — re-derives from ONE text scan. */
   def hashedGrams(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame =
-    Dedup.trackPersisted(df
-      .filter(length(trim(col(textCol))) > 0)
+    Dedup.trackPersisted(
+      Exec.fanOutForCpu(df
+        .filter(length(trim(col(textCol))) > 0)
+        .select(col(idCol), col(textCol)))
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("t"))
       .filter(col("t").isNotNull)
-      .select(col(idCol), explode(Expressions.arrayFnv1a64(
-        TextFunctions.shinglesFromTokens(col("t"), k))).as("g"))
-      .distinct()
+      // per-doc distinct INSIDE the fused n-gram+FNV kernel: duplicate
+      // (id, g) pairs can only arise within one document, so deduping
+      // in the map stage == the global `.distinct()` this replaces —
+      // minus a full exchange + dedup aggregation of the gram relation
+      .select(col(idCol), explode(
+        TextFunctions.hashedShinglesFromTokens(col("t"), k)).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK))
 
   def rareGramEdges(df: DataFrame, textCol: String, idCol: String,

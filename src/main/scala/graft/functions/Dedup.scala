@@ -116,7 +116,8 @@ object Dedup {
     */
   def exactGroupsByFingerprint(df: DataFrame, textCol: String,
       idCol: String): DataFrame =
-    df.select(col(idCol), md5(TextFunctions.normText(col(textCol))).as("fp"))
+    Exec.fanOutForCpu(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), md5(TextFunctions.normText(col(textCol))).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
@@ -128,7 +129,8 @@ object Dedup {
     * cross-check for the fingerprint path (q25 vs q39).
     */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(TextFunctions.normText(col(textCol)).as("norm_key"))
+    Exec.fanOutForCpu(df.select(col(idCol), col(textCol)))
+      .groupBy(TextFunctions.normText(col(textCol)).as("norm_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
   /** THE keeper rule, defined once: per-fingerprint rank `rn`
@@ -146,7 +148,8 @@ object Dedup {
   def withFingerprintRank(df: DataFrame, textCol: String,
       idCol: String): DataFrame =
     rankByFingerprint(
-      df.withColumn("fp", md5(TextFunctions.normText(col(textCol)))), idCol)
+      Exec.fanOutForCpu(df)
+        .withColumn("fp", md5(TextFunctions.normText(col(textCol)))), idCol)
 
   /** Ids to drop under exact dedup (everything but the keeper). */
   def exactDropIds(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -204,8 +207,13 @@ object Dedup {
     // one. The cached relation is (id, band, band_key) — tens of bytes
     // per row, nothing payload-sized — and the CacheManager keys on the
     // analyzed plan, so repeated runs of the same query reuse one entry.
-    val banded = trackPersisted(df.select(col(idCol),
-        array_distinct(TextFunctions.tokens(col(textCol))).as("toks"))
+    // fanned out before the tokenize/md5-sig map stage (Exec note), and
+    // the sig's native kernel dedups tokens internally — no
+    // array_distinct pass
+    val banded = trackPersisted(
+      Exec.fanOutForCpu(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col(idCol),
         TextFunctions.minhashSigFromTokens(col("toks"), k).as("sig"))
       .select(col(idCol),
@@ -272,16 +280,24 @@ object Dedup {
     // null-text docs would otherwise "verify" at jaccard 1.0; dropping
     // null-toks/null-id rows BEFORE the group stage reproduces the old
     // declarative path's silent null-jaccard exclusion.
-    val staged = df
-      .select(col(idCol).cast("string").as("id"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
+    // fanned out before the tokenize/shingle/md5-sig map stage (Exec
+    // note: the single-row-group bench scan made this stage a serial
+    // straggler); the hashed-shingle path fuses n-gram + FNV + dedup in
+    // one native kernel so gram strings never materialize, and the
+    // native md5 sig dedups tokens internally — no array_distinct pass
+    val staged = Exec.fanOutForCpu(
+        df.select(col(idCol).cast("string").as("id"), col(textCol).as("_txt")))
+      .select(col("id"), TextFunctions.tokens(col("_txt")).as("toks"))
       .filter(col("id").isNotNull && col("toks").isNotNull)
       .select(col("id"),
-        TextFunctions.shinglesFromTokens(col("toks"), n).as("sh_raw"),
+        (if (hashShingles)
+          TextFunctions.hashedShinglesFromTokens(col("toks"), n)
+        else
+          TextFunctions.shinglesFromTokens(col("toks"), n)).as("sh"),
         (if (fastMinhash)
           TextFunctions.minhashSigFromTokensFast(array_distinct(col("toks")), k)
         else
-          TextFunctions.minhashSigFromTokens(array_distinct(col("toks")), k))
+          TextFunctions.minhashSigFromTokens(col("toks"), k))
           .as("sig"))
     // band keys ride the group stage as strings on both hash families
     // (a cast long for the fast path — still ≤20 bytes vs 32-hex md5)
@@ -290,19 +306,19 @@ object Dedup {
         transform(TextFunctions.bandKeysFromSigFast(col("sig"), k, rows),
           _.cast("string"))
       else TextFunctions.bandKeysFromSig(col("sig"), k, rows)
-    def banded(shCol: org.apache.spark.sql.Column) = staged
-      .select(col("id"), shCol.as("sh"),
+    val banded = staged
+      .select(col("id"), col("sh"),
         posexplode(bandKeys).as(Seq("band", "band_key")))
     val pairs =
       if (hashShingles)
-        banded(Expressions.arrayFnv1a64(col("sh_raw")))
+        banded
           .as[(String, Seq[Long], Int, String)]
           .groupByKey { case (_, _, band, key) => (band, key) }
           .flatMapGroups { (_: (Int, String), m: Iterator[(String, Seq[Long], Int, String)]) =>
             bucketPairs(m, maxBucket, threshold, ord, stats)
           }
       else
-        banded(col("sh_raw"))
+        banded
           .as[(String, Seq[String], Int, String)]
           .groupByKey { case (_, _, band, key) => (band, key) }
           .flatMapGroups { (_: (Int, String), m: Iterator[(String, Seq[String], Int, String)]) =>
@@ -406,8 +422,9 @@ object Dedup {
     // keys would work here, but the oracle must agree doc-for-doc and
     // an explicit filter prunes the rows before the explode (empty text
     // is NOT null — it hashes to 0 and buckets normally on both sides)
-    val hashed = df.select(col(idCol).as("id"),
-      Expressions.simhash64(TextFunctions.normText(col(textCol))).as("sh"))
+    val hashed = Exec.fanOutForCpu(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        Expressions.simhash64(TextFunctions.normText(col(textCol))).as("sh"))
       .filter(col("id").isNotNull && col("sh").isNotNull)
     // persisted: FOUR subtrees consume this relation (the occupancy
     // counts plus both sides of the self-join, each also re-deriving
@@ -532,14 +549,17 @@ object Dedup {
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     val toks = trackPersisted(
-      df.filter(col(textCol).isNotNull)
+      Exec.fanOutForCpu(df.filter(col(textCol).isNotNull)
+          .select(col(idCol), col(textCol)))
         .select(col(idCol), TextFunctions.tokens(col(textCol)).as("t"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // (id, start, fp) for every k-token window, duplicates kept in
-    // order — posexplode's index IS the 0-based token offset
+    // order — posexplode's index IS the 0-based token offset; the
+    // fused native kernel hashes each window without materializing the
+    // gram strings (identical FNV values — state chaining)
     val spans = toks
-      .select(col(idCol), posexplode(Expressions.arrayFnv1a64(
-        TextFunctions.ngramsFromTokens(col("t"), k)))
+      .select(col(idCol), posexplode(
+        Expressions.hashedWordNgrams(col("t"), k, distinct = false))
         .as(Seq("start", "fp")))
     val dup = spans.groupBy(col("fp"))
       .agg(count(lit(1)).as("n"),

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+
+/** Execution-shape helpers shared by the operator modules. */
+object Exec {
+
+  /** Fan a SMALL scan out to the session's parallelism before CPU-heavy
+    * per-row work (tokenize / md5-minhash / shingle-hash / vector
+    * normalize stages).
+    *
+    * Why (guide §2.5 "input skew — one huge unsplittable file"): a
+    * bench-scale table is a single parquet file of one row group, so the
+    * scan yields ONE task and every per-row-expensive map stage above it
+    * runs serial while the other cores idle (measured: q31's banded
+    * build was a 1.8 s straggler task at sf0.1). The round-robin
+    * repartition costs one tiny shuffle of the projected input and buys
+    * full parallelism for the map stage.
+    *
+    * Scale-adaptive, not a local-mode constant: the fan-out applies ONLY
+    * when the scan's partition count is below the session's default
+    * parallelism. A 100 TB table has millions of row groups — its scans
+    * arrive with far more partitions than cores and this is a no-op, so
+    * the payload is never gratuitously shuffled at scale (guide §8).
+    *
+    * Deterministic results: round-robin repartition distributes by row
+    * position (with Spark's sort-before-repartition keeping the mapping
+    * stable under task retry), and every consumer in this engine is
+    * row-order-independent (hash/group/join/window-with-total-tiebreak
+    * shapes), so results — and oracle hashes — are unchanged.
+    */
+  def fanOutForCpu(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+}

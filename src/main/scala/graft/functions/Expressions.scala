@@ -187,6 +187,197 @@ object VectorKernels {
   }
 }
 
+/** Static text kernels for the tokenize/hash hot path — one tight loop
+  * per row where the Column formulations they replace ran interpreted
+  * higher-order functions per ELEMENT (ArrayTransform / concat_ws /
+  * element_at trees never join whole-stage codegen). Each kernel is
+  * bit-compatible with the HOF tree it replaces — same md5/FNV bytes,
+  * same separators, same null/empty semantics — so swapping them in
+  * changes no oracle hash (pinned by NativeTextSpec).
+  */
+object TextKernels {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex16(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexChars(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Unsigned lexicographic digest compare == compare of the hex
+    * strings (hex encoding is monotone in unsigned byte order). */
+  private def ltUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** MinHash signature: for each hash index i in 0..k-1, the minimum of
+    * md5(s"$i:" ++ token) in hex over the row's DISTINCT non-null
+    * tokens. Equals
+    * `array(i => array_min(transform(array_distinct(toks), t => md5(concat(lit(s"$i:"), t)))))`
+    * bit-for-bit: min over the distinct set == min over the multiset
+    * (the internal dedup only skips redundant md5 work), digests compare
+    * unsigned == hex strings compare lexicographically, and a NULL/empty
+    * token array yields an array of k NULL components — exactly the
+    * array_min-of-empty/null behavior of the HOF tree. ~k full md5
+    * computations per distinct token, one MessageDigest per thread, no
+    * per-token Column-tree interpretation. */
+  def minhashMd5Sig(a: ArrayData, k: Int): ArrayData = {
+    if (a == null) return new GenericArrayData(new Array[Any](k))
+    val n = a.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val toks = new java.util.ArrayList[Array[Byte]]()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val s = a.getUTF8String(i)
+        if (seen.add(s)) toks.add(s.getBytes)
+      }
+      i += 1
+    }
+    val m = toks.size()
+    val out = new Array[Any](k)
+    if (m == 0) return new GenericArrayData(out)
+    val md = mdLocal.get()
+    var h = 0
+    while (h < k) {
+      val prefix = (h.toString + ":")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var best: Array[Byte] = null
+      var t = 0
+      while (t < m) {
+        md.reset()
+        md.update(prefix)
+        md.update(toks.get(t))
+        val d = md.digest()
+        if (best == null || ltUnsigned(d, best)) best = d
+        t += 1
+      }
+      out(h) = hex16(best)
+      h += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Word n-grams of a token array, space-joined, duplicates kept in
+    * order (`distinct = false`) or first-occurrence-deduped
+    * (`distinct = true`). Equals
+    * `transform(sequence(0, count-1), i => concat_ws(" ", t[i+1..i+n]))`
+    * (+ array_distinct): null window elements are SKIPPED exactly like
+    * concat_ws, size-n windows short of n tokens yield an empty array,
+    * and dedup preserves first-occurrence order like array_distinct. */
+  def wordNgrams(a: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    // NULL token array → [""] — the legacy tree's documented
+    // greatest()-null-skip artifact: size(null) = -1 makes `count`
+    // NULL-free only via when(); with count null the otherwise branch
+    // runs transform(sequence(0, greatest(null, 0))) = one all-null
+    // window whose concat_ws is "". Callers that must not see the
+    // phantom gram filter null token arrays first (they all do) — but
+    // the kernel replicates the value exactly for the ones that don't.
+    if (a == null)
+      return new GenericArrayData(Array[Any](UTF8String.fromString("")))
+    val len = a.numElements()
+    val count = len - (n - 1)
+    if (count <= 0) return new GenericArrayData(new Array[Any](0))
+    val elems = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      elems(i) = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      i += 1
+    }
+    val sp = UTF8String.fromString(" ")
+    val out = new java.util.ArrayList[UTF8String](count)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var s = 0
+    while (s < count) {
+      // concat_ws(" ", window): skip nulls, separator between the kept
+      val parts = new java.util.ArrayList[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        val e = elems(s + j)
+        if (e != null) {
+          if (!parts.isEmpty) parts.add(sp)
+          parts.add(e)
+        }
+        j += 1
+      }
+      val gram = UTF8String.concat(parts.toArray(new Array[UTF8String](0)): _*)
+      if (seen == null || seen.add(gram)) out.add(gram)
+      s += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](0))
+      .asInstanceOf[Array[Any]])
+  }
+
+  /** FNV-1a 64 of each word n-gram, WITHOUT materializing the gram
+    * strings: fnv1a64("a b c") == chained fnv states over the bytes of
+    * a, ' ', b, ' ', c (HashKernels.fnv1a64From), null window elements
+    * skipped like concat_ws. Equals
+    * `arrayFnv1a64(wordNgrams(t, n, distinct))` value-for-value; for
+    * `distinct = true` the dedup runs on the 64-bit hash instead of the
+    * gram string — identical output everywhere the consumer treats the
+    * hashes as a set (every call site does: Jaccard over Set[Long],
+    * distinct/semi-join/groupBy on the hash), because two grams that
+    * collide in 64 bits contribute one set member either way. */
+  def hashedWordNgrams(a: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    // NULL → [fnv1a64("")] — see wordNgrams' null note (same artifact,
+    // hashed: the FNV offset basis, no bytes folded)
+    if (a == null)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array(0xcbf29ce484222325L))
+    val len = a.numElements()
+    val count = len - (n - 1)
+    if (count <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(new Array[Long](0))
+    val elems = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      elems(i) = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      i += 1
+    }
+    val space = UTF8String.fromString(" ")
+    val out = new Array[Long](count)
+    var m = 0
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
+    var s = 0
+    while (s < count) {
+      var h = 0xcbf29ce484222325L
+      var emitted = false
+      var j = 0
+      while (j < n) {
+        val e = elems(s + j)
+        if (e != null) {
+          if (emitted) h = HashKernels.fnv1a64From(h, space)
+          h = HashKernels.fnv1a64From(h, e)
+          emitted = true
+        }
+        j += 1
+      }
+      if (seen == null || seen.add(h)) { out(m) = h; m += 1 }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+}
+
 /** Native Catalyst expression: FNV-1a 64-bit of a string column.
   * Participates in whole-stage codegen via a static call — no UDF
   * serialization, no boxing beyond the Long result.
@@ -314,6 +505,135 @@ case class ArrayFnv1a64(child: Expression) extends UnaryExpression {
       c => s"graft.functions.HashKernels.fnvArray($c)")
   override protected def withNewChildInternal(c: Expression): ArrayFnv1a64 =
     copy(c)
+}
+
+/** Native MinHash-md5 signature of an `array<string>` token column —
+  * see [[TextKernels.minhashMd5Sig]] for the exact contract. NOT
+  * null-propagating: a NULL token array yields an array of k NULL
+  * components, matching `array(array_min(transform(NULL, ...)), ...)`
+  * (downstream `array_join` skips the nulls to "" — a NULL output here
+  * would flip that to NULL and break oracle equality on null-text
+  * docs). */
+case class MinhashMd5Sig(child: Expression, k: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+  require(k > 0, "k must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${t.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    TextKernels.minhashMd5Sig(
+      if (v == null) null
+      else v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.TextKernels.minhashMd5Sig(
+            ${childGen.isNull} ? null : ${childGen.value}, $k);
+        """,
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): MinhashMd5Sig =
+    copy(child = c)
+}
+
+/** Native word-n-gram generator over an `array<string>` token column —
+  * see [[TextKernels.wordNgrams]]. Null-propagating (the HOF tree it
+  * replaces yields NULL on NULL input). */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types._
+  require(n > 0, "n must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${t.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // NOT null-propagating: NULL input → [""] (the legacy tree's
+  // greatest()-null-skip artifact — see TextKernels.wordNgrams)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    TextKernels.wordNgrams(
+      if (v == null) null
+      else v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n, distinct)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.TextKernels.wordNgrams(
+            ${childGen.isNull} ? null : ${childGen.value}, $n, $distinct);
+        """,
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): WordNgrams =
+    copy(child = c)
+}
+
+/** Native fused n-gram + FNV-1a hasher over an `array<string>` token
+  * column — see [[TextKernels.hashedWordNgrams]]. Null-propagating,
+  * like the `arrayFnv1a64(shinglesFromTokens(...))` pair it replaces. */
+case class HashedWordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types._
+  require(n > 0, "n must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${t.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // NOT null-propagating: NULL input → [fnv1a64("")] (matches
+  // arrayFnv1a64 over the legacy tree's [""] — see TextKernels)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    TextKernels.hashedWordNgrams(
+      if (v == null) null
+      else v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n, distinct)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.TextKernels.hashedWordNgrams(
+            ${childGen.isNull} ? null : ${childGen.value}, $n, $distinct);
+        """,
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): HashedWordNgrams =
+    copy(child = c)
 }
 
 /** Whole-extraction expression: one call per row returning
@@ -731,6 +1051,12 @@ object Expressions {
 
   def fnv1a64(c: Column): Column = column(Fnv1a64(expression(c)))
   def arrayFnv1a64(c: Column): Column = column(ArrayFnv1a64(expression(c)))
+  def minhashMd5Sig(toks: Column, k: Int): Column =
+    column(MinhashMd5Sig(expression(toks), k))
+  def wordNgrams(toks: Column, n: Int, distinct: Boolean): Column =
+    column(WordNgrams(expression(toks), n, distinct))
+  def hashedWordNgrams(toks: Column, n: Int, distinct: Boolean): Column =
+    column(HashedWordNgrams(expression(toks), n, distinct))
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def arrayDot(a: Column, b: Column): Column =
     column(ArrayDot(expression(a), expression(b)))

@@ -33,20 +33,32 @@ object TextFunctions {
 
   /** ALL word n-grams (duplicates kept, in order) from a
     * PRE-MATERIALIZED token column — the repetition-signal counterpart
-    * of [[shinglesFromTokens]] (which distincts for set semantics). */
-  def ngramsFromTokens(t: Column, n: Int): Column = {
-    val count = size(t) - (n - 1)
-    val grams = transform(
-      sequence(lit(0), greatest(count - 1, lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
-    when(count <= 0, array().cast("array<string>")).otherwise(grams)
-  }
+    * of [[shinglesFromTokens]] (which distincts for set semantics).
+    * Native kernel (r06): the
+    * `transform(sequence(...), i => concat_ws(" ", element_at×n))` tree
+    * it replaces ran interpreted per GRAM; the native loop is one
+    * whole-stage-codegen call per row with bit-identical output
+    * (NativeTextSpec pins the equality, nulls and empties included). */
+  def ngramsFromTokens(t: Column, n: Int): Column =
+    Expressions.wordNgrams(t, n, distinct = false)
 
   /** Distinct word n-gram shingles from a PRE-MATERIALIZED token column
     * (stage `tokens` as its own Project first — see the staging note on
-    * [[minhashSigFromTokens]]). */
+    * [[minhashSigFromTokens]]). Native: fused n-gram + first-occurrence
+    * dedup, replacing `array_distinct(ngramsFromTokens(t, n))`. */
   def shinglesFromTokens(t: Column, n: Int): Column =
-    array_distinct(ngramsFromTokens(t, n))
+    Expressions.wordNgrams(t, n, distinct = true)
+
+  /** Distinct word n-grams as 8-byte FNV-1a longs in ONE fused native
+    * kernel — the gram strings never materialize (the FNV state chains
+    * through token bytes + ' ' separators). Output-equal to
+    * `Expressions.arrayFnv1a64(shinglesFromTokens(t, n))` at every call
+    * site: the dedup runs on the 64-bit hash instead of the gram text,
+    * which is indistinguishable wherever the consumer treats the hashes
+    * as a set (Jaccard sets, distinct/semi-join/groupBy keys — all of
+    * them do). */
+  def hashedShinglesFromTokens(t: Column, n: Int): Column =
+    Expressions.hashedWordNgrams(t, n, distinct = true)
 
   /** Distinct word n-gram shingles of raw text (single-Project
     * convenience; the token array is inlined into each gram slot). */
@@ -105,12 +117,22 @@ object TextFunctions {
     aggregate(tokens(c), lit(0L),
       (h, t) => (h * 31 + length(t) + ascii(t)) % 1000000007L)
 
-  /** MinHash signature from a PRE-MATERIALIZED distinct-token column.
+  /** MinHash signature from a PRE-MATERIALIZED token column.
     * String-min of fixed-width hex == numeric min of the 128-bit hash,
     * so signatures are engine-portable. md5 is the portability choice
     * (the DuckDB oracle computes the identical signature); a
     * throughput-first deployment swaps it for the codegen'd `xxhash64`
     * — same operator shape, ~5-10× cheaper per token, no oracle.
+    *
+    * Native kernel (r06): replaces the
+    * `array(i => array_min(transform(toks, tok => md5("i:" ++ tok))))`
+    * tree — k interpreted ArrayTransform passes and a hex-string
+    * allocation per (token, hash) — with one codegen'd call per row
+    * that dedups tokens internally (min over the distinct set == min
+    * over the multiset, so callers need no array_distinct), reuses one
+    * MessageDigest per thread, and compares raw digests (unsigned
+    * bytes == hex lexicographic). Bit-identical signatures, pinned by
+    * NativeTextSpec.
     *
     * Stage the pipeline as tokens → sig → bands through separate
     * Projects (each a resolved attribute): inlining `sig` into the 16
@@ -118,9 +140,7 @@ object TextFunctions {
     * row — a quadratic expression blowup that showed up as 15s on 500
     * docs before staging. */
   def minhashSigFromTokens(toks: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(toks, tok => md5(concat(lit(s"$i:"), tok))))
-    }: _*)
+    Expressions.minhashMd5Sig(toks, k)
 
   /** The 100 TB CPU/shuffle lever of [[minhashSigFromTokens]]: k
     * codegen'd xxhash64 longs per doc instead of k md5 hex strings
@@ -147,7 +167,7 @@ object TextFunctions {
   /** MinHash signature of raw text (single-Project convenience; for
     * anything followed by band hashing, stage via minhashSigFromTokens). */
   def minhashSignature(c: Column, k: Int): Column =
-    minhashSigFromTokens(array_distinct(tokens(c)), k)
+    minhashSigFromTokens(tokens(c), k) // native sig dedups internally
 
   /** LSH band keys from a pre-materialized signature column. */
   def bandKeysFromSig(sig: Column, k: Int, rows: Int): Column = {
@@ -179,14 +199,20 @@ object TextFunctions {
   def dsirWeights(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, isTarget: Column,
       buckets: Long = 10000L): org.apache.spark.sql.DataFrame = {
-    val d = df.filter(col(textCol).isNotNull)
+    val d = Exec.fanOutForCpu(df.filter(col(textCol).isNotNull))
       .select(col(idCol), isTarget.as("_graft_is_t"),
         tokens(lower(col(textCol))).as("t"))
       .filter(col("t").isNotNull)
+    // features hash BEFORE the explode: unigram hashes via the array
+    // FNV kernel, bigram hashes via the fused n-gram+FNV kernel (the
+    // chained state == fnv1a64 of the space-joined gram string, so the
+    // bucket ids are bit-identical to hashing exploded strings)
     val feats = d.select(col(idCol), col("_graft_is_t"),
-        explode(concat(col("t"), ngramsFromTokens(col("t"), 2))).as("f"))
+        explode(concat(Expressions.arrayFnv1a64(col("t")),
+          Expressions.hashedWordNgrams(col("t"), 2, distinct = false)))
+          .as("h"))
       .select(col(idCol), col("_graft_is_t"),
-        pmod(Expressions.fnv1a64(col("f")), lit(buckets)).as("b"))
+        pmod(col("h"), lit(buckets)).as("b"))
     val docFeat = Dedup.trackPersisted(feats
       .groupBy(col(idCol), col("_graft_is_t"), col("b"))
       .agg(count(lit(1)).as("n"))
