@@ -53,5 +53,14 @@ def clampHeap(m: String): String = {
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Let AQE (re-)optimize CACHED plans too — off by default only to keep
+  // a cached relation's output partitioning stable for consumers that
+  // depend on it (nothing here does: every consumer re-shuffles or
+  // aggregates). Without it each persisted relation materializes with
+  // the static shuffle.partitions count and EVERY consumer stage pays
+  // that many tasks regardless of data size; with it, AQE coalescing
+  // sizes cached partitions by bytes — the same adaptive behavior the
+  // non-cached plan already gets, at any scale.
+  "-Dspark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true",
   s"-Xmx${clampHeap(sys.env.getOrElse("SPARK_DRIVER_MEM", "12g"))}",
 )

@@ -40,7 +40,9 @@ object BenchExtra {
       override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
         if (recording) {
           val r = stages.computeIfAbsent(e.stageInfo.stageId, _ => new StageRec)
-          r.name = e.stageInfo.name
+          // the RDD scope chain identifies the operator (callsite name is
+          // always the same lambda); keep the distinct scope names in order
+          r.name = e.stageInfo.rddInfos.map(_.name).distinct.mkString(">")
           r.submitted = System.currentTimeMillis()
         }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =

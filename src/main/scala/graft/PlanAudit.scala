@@ -186,6 +186,35 @@ object PlanAudit {
       println("```")
       println(s"\nskew handled: ${plan.contains("skew=true")}")
     }
+
+    // ---- scale-safe centroid assignment (r06, round-5 verdict #1) ------
+    // The IVF/SemDeDup cell assignment must stay O(1) in plan size at
+    // the √N / N/128 centroid dials: centroids ride a Spark broadcast
+    // consumed by the native NearestCentroid expression, never the plan.
+    // Forced nCentroids = 10,000 here — the literal-array argmin this
+    // replaced embedded nCentroids × dim literals (a multi-MB plan that
+    // collapsed analyzer/codegen well before 10⁴ cells).
+    {
+      import org.apache.spark.sql.functions._
+      val nCents = 10000
+      val dim = 16
+      val vecs = spark.range(0, 2000).select(col("id").cast("int").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(col("id") * 31 + i, lit(97)).cast("double") / 97.0)
+            .cast("float")).as("embedding"))
+      val cents = Array.tabulate(nCents, dim)((c, d) =>
+        ((c * 131 + d * 17) % 89).toDouble / 89.0)
+      val df = graft.functions.Ann.withIvfCell(vecs, "embedding", cents, "cell")
+      df.queryExecution.toRdd.count()
+      val planStr = df.queryExecution.executedPlan.toString
+      println(s"\n## scale-safe centroid assignment: nCentroids=$nCents, dim=$dim\n")
+      println(s"plan chars: ${planStr.length} (literal-argmin plan would " +
+        s"embed ${nCents * dim} double literals); contains " +
+        s"'nearestcentroid': ${planStr.toLowerCase.contains("nearestcentroid")}\n")
+      println("```")
+      println(planStr.take(3000))
+      println("```")
+    }
     spark.stop()
   }
 

@@ -21,12 +21,29 @@ object TrainingQueries {
     * normalize) directly above this scan, and the bench-scale tables
     * are single-row-group files whose one-task scans serialized those
     * map stages on one core. */
+  /** NOT fanned out at the source: a blanket repartition taxes every
+    * trivial-map query (+0.1-0.3 s each measured) and multi-branch
+    * self-joins pay it once per branch. The operators/queries whose map
+    * stages are genuinely CPU-heavy fan out themselves (Dedup/Corpus
+    * internals, [[docsFanned]] below). */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.functions.Exec.fanOutForCpu(
-      s.read.parquet(s"$dir/documents.parquet"))
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** The fanned variant for queries whose per-doc map work is heavy
+    * (quality/lang-ID scoring ~100s of µs/doc of interpreted HOFs, or
+    * corpus-wide token explodes feeding a persisted relation) — the
+    * cases where the one extra small exchange measurably wins (see
+    * Exec.fanOutForCpu; no-op at real scale). */
+  private def docsFanned(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Exec.fanOutForCpu(docs(s, dir))
+  // embeddings deliberately NOT fanned out at the source: the ANN map
+  // stages are native codegen'd dots (light per row, unlike tokenize/
+  // md5), several consumers are point lookups or TakeOrdered scans
+  // where an extra exchange+job costs more than the parallelism buys
+  // (measured: q28 0.36→0.77 with a source fan-out), and the pair
+  // generators that ARE per-row-heavy fan out inside Dedup/Ann.
   private def embs(s: SparkSession, dir: String): DataFrame =
-    graft.functions.Exec.fanOutForCpu(
-      s.read.parquet(s"$dir/embeddings.parquet"))
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Scale detection by the sf dir's BASENAME, never the full path —
     * `dir.contains("0.1")` would also match a checkout under e.g.
@@ -67,14 +84,18 @@ object TrainingQueries {
   private def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     val qTerms = Seq("spark", "merge", "vector")
     val docTok = Dedup.trackPersisted(
-      docs(s, dir)
+      docsFanned(s, dir)
         .select(col("doc_id"),
           explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dlen = docTok.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dlen.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    // corpus stats straight off the cached token relation — one agg
+    // instead of re-running the dlen aggregation a second time:
+    // count(distinct doc) == dlen row count, sum(tf) == sum(dl)
+    val stats = docTok.agg(
+      countDistinct(col("doc_id")).as("n"), sum(col("tf")).as("sumdl"))
     val idf = broadcast(
       docTok.filter(col("tok").isin(qTerms: _*))
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -249,7 +270,7 @@ object TrainingQueries {
 
     // lang-ID evaluation: confusion rollup of predicted vs labeled lang
     "q43_langid_eval" -> ((s, dir) =>
-      docs(s, dir)
+      docsFanned(s, dir)
         .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))),
@@ -264,7 +285,7 @@ object TrainingQueries {
     // dozen bytes per doc — never the payload text
     "q51_training_selection" -> ((s, dir) =>
       Dedup.rankByFingerprint(
-          docs(s, dir).select(col("doc_id"),
+          docsFanned(s, dir).select(col("doc_id"),
             TextFunctions.qualityScore(col("text")).as("q"),
             TextFunctions.langId(col("text")).as("lang_pred"),
             TextFunctions.tokens(col("text")).as("t"),
@@ -328,11 +349,16 @@ object TrainingQueries {
       val e0 = Dedup.trackPersisted(
         embs(s, dir).select(col("vec_id"), col("embedding"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      require(e0.agg(max(col("vec_id"))).head().getLong(0) < 500000L,
+      // one driver action instead of two (id-range guard + aug count):
+      // |aug| == |e0| + |{vec_id % 25 == 0}| by construction
+      val pre = e0.agg(max(col("vec_id")).as("mx"), count(lit(1)).as("c"),
+        sum(when(col("vec_id") % 25 === 0, 1L).otherwise(0L)).as("c25"))
+        .head()
+      require(pre.getLong(0) < 500000L,
         "q69 planted-id offset collides with real vec_ids")
       val aug = e0.unionByName(e0.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 500000).as("vec_id"), col("embedding")))
-      val n = aug.count().toDouble
+      val n = (pre.getLong(1) + pre.getLong(2)).toDouble
       val nc = math.max(math.ceil(math.sqrt(n)), math.ceil(n / 128)).toInt
       val cents = Ann.ivfCentroids(aug, "embedding", "vec_id", nc)
       val celled = Ann.withIvfCell(aug, "embedding", cents, "cell")
@@ -478,7 +504,7 @@ object TrainingQueries {
     // score, floor-quantized to 4 decimals on BOTH sides, so the
     // boundary compare is IEEE-exact.
     "q72_percentile_gate" -> ((s, dir) => {
-      val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+      val scored = docsFanned(s, dir).select(col("doc_id"), col("lang"),
         TextFunctions.qualityScore(col("text")).as("q"))
       val thr = graft.functions.Relational
         .percentileThreshold(scored, "lang", "q", "doc_id", 0.9)
@@ -557,7 +583,7 @@ object TrainingQueries {
     // bin/1024 — a power-of-two division, IEEE-exact.
     "q75_histogram_quantile" -> ((s, dir) =>
       graft.functions.Relational.histogramQuantile(
-        docs(s, dir).filter(col("text").isNotNull)
+        docsFanned(s, dir).filter(col("text").isNotNull)
           .select(col("lang"),
             TextFunctions.qualityScore(col("text")).as("q")),
         "lang", "q", 0.9, 1024)
@@ -576,7 +602,7 @@ object TrainingQueries {
     // break on the token string.
     "q76_tfidf_topterms" -> ((s, dir) => {
       val docTok = Dedup.trackPersisted(
-        docs(s, dir)
+        docsFanned(s, dir)
           .select(col("doc_id"),
             explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
           .groupBy(col("doc_id"), col("tok"))
@@ -747,7 +773,7 @@ object TrainingQueries {
     // quantized to 4 decimals, per-doc mean accumulated in DECIMAL.
     "q82_bigram_surprisal" -> ((s, dir) => {
       val docBig = Dedup.trackPersisted(
-        docs(s, dir)
+        docsFanned(s, dir)
           .select(col("doc_id"),
             TextFunctions.tokens(lower(col("text"))).as("t"))
           .filter(size(col("t")) > 0)
@@ -1034,7 +1060,7 @@ object TrainingQueries {
     // output is a 5-row stack
     "q96_filter_ablation" -> ((s, dir) => {
       val scored = Dedup.rankByFingerprint(
-          docs(s, dir).select(col("doc_id"),
+          docsFanned(s, dir).select(col("doc_id"),
             TextFunctions.qualityScore(col("text")).as("q"),
             TextFunctions.langId(col("text")).as("lang_pred"),
             TextFunctions.tokens(col("text")).as("t"),
@@ -1070,7 +1096,7 @@ object TrainingQueries {
     // ~1e-8 per token, disclosed rather than pretended away (every
     // other oracle sticks to IEEE-exact + - * / and sqrt)
     "q55_unigram_surprisal" -> ((s, dir) => {
-      val toks = docs(s, dir).select(col("doc_id"),
+      val toks = docsFanned(s, dir).select(col("doc_id"),
         explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
       // pre-aggregate (doc_id, tok, n) BEFORE the frequency join: the
       // per-occurrence token table is ~corpus bytes again and its join

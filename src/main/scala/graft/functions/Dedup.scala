@@ -116,8 +116,7 @@ object Dedup {
     */
   def exactGroupsByFingerprint(df: DataFrame, textCol: String,
       idCol: String): DataFrame =
-    Exec.fanOutForCpu(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), md5(TextFunctions.normText(col(textCol))).as("fp"))
+    df.select(col(idCol), md5(TextFunctions.normText(col(textCol))).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
@@ -129,8 +128,7 @@ object Dedup {
     * cross-check for the fingerprint path (q25 vs q39).
     */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    Exec.fanOutForCpu(df.select(col(idCol), col(textCol)))
-      .groupBy(TextFunctions.normText(col(textCol)).as("norm_key"))
+    df.groupBy(TextFunctions.normText(col(textCol)).as("norm_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
   /** THE keeper rule, defined once: per-fingerprint rank `rn`
@@ -148,8 +146,7 @@ object Dedup {
   def withFingerprintRank(df: DataFrame, textCol: String,
       idCol: String): DataFrame =
     rankByFingerprint(
-      Exec.fanOutForCpu(df)
-        .withColumn("fp", md5(TextFunctions.normText(col(textCol)))), idCol)
+      df.withColumn("fp", md5(TextFunctions.normText(col(textCol)))), idCol)
 
   /** Ids to drop under exact dedup (everything but the keeper). */
   def exactDropIds(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -422,9 +419,8 @@ object Dedup {
     // keys would work here, but the oracle must agree doc-for-doc and
     // an explicit filter prunes the rows before the explode (empty text
     // is NOT null — it hashes to 0 and buckets normally on both sides)
-    val hashed = Exec.fanOutForCpu(df.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("id"),
-        Expressions.simhash64(TextFunctions.normText(col(textCol))).as("sh"))
+    val hashed = df.select(col(idCol).as("id"),
+      Expressions.simhash64(TextFunctions.normText(col(textCol))).as("sh"))
       .filter(col("id").isNotNull && col("sh").isNotNull)
     // persisted: FOUR subtrees consume this relation (the occupancy
     // counts plus both sides of the self-join, each also re-deriving
@@ -486,6 +482,9 @@ object Dedup {
     // re-scanned and re-normalized up to 5× per query. The cached rows
     // are (id, bucket, unit vector): the reduced relation, already
     // pruned to the columns the join needs.
+    // deliberately NOT fanned out: the per-row work here is native
+    // codegen'd vector math (cheap), and an extra exchange costs more
+    // than the map parallelism buys (measured on q41/q48)
     val v = trackPersisted(Ann.withNormalized(
         df.select(col(idCol).as("id"), col(bucketCol).as("bkt"),
           col(vecCol).as("_emb")),
@@ -775,12 +774,18 @@ object Dedup {
     var iter = 0
     try {
       while (!converged && iter < maxIter) {
-        // large-star materializes eagerly: small-star reads it twice
-        // (aggregate + join), so a lazy plan would compute it twice
-        val ls = largeStar(e).localCheckpoint(true)
+        // large-star is PERSISTED, not eagerly checkpointed: small-star
+        // reads it twice (aggregate + join), and the cache makes the
+        // second read free — but unlike the round-5 eager
+        // localCheckpoint, materialization happens inside small-star's
+        // own fingerprint job (cache fill on first touch), so each
+        // round is ONE job, not two. Lineage stays shallow: ls derives
+        // directly from the checkpointed e.
+        val ls = largeStar(e)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (next, nfp) = checkpointWithFp(smallStar(ls))
         // superseded sets — next is materialized, neither is read again
-        freeLocalCheckpoint(ls)
+        ls.unpersist(blocking = false)
         freeLocalCheckpoint(e)
         e = next
         converged = nfp == fp

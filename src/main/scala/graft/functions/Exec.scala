@@ -30,7 +30,17 @@ object Exec {
     * shapes), so results — and oracle hashes — are unchanged.
     */
   def fanOutForCpu(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    // size-based gate from optimizer statistics — deliberately NOT
+    // df.rdd.getNumPartitions, which forces a full physical planning
+    // (incl. codegen) of the subtree at query-construction time
+    // (measured at ~0.1-0.3 s per call). An input estimated under
+    // parallelism × maxPartitionBytes cannot produce a full wave of
+    // scan tasks; anything bigger (every real-scale table) passes
+    // through untouched.
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < BigInt(p) * maxSplit) df.repartition(p) else df
   }
 }
