@@ -94,16 +94,32 @@ object Corpus {
 
   /** The edge join over an existing gram relation (see
     * [[hashedGrams]]); kept separate so multi-consumer operators can
-    * reuse one persisted gram relation for edges AND other joins. */
+    * reuse one persisted gram relation for edges AND other joins.
+    *
+    * r06 shape: the old `rt ⋈ rt on g` self-join evaluated the
+    * rare-gram relation TWICE and shuffled it twice; pairs now come
+    * from ONE `groupBy(g)` whose membership buffer is bounded by the
+    * counts-first [dfMin, dfMax] band (≤ dfMax ids per gram — the same
+    * occupancy discipline as every pair generator here: counts with
+    * fixed-size buffers decide survival BEFORE any membership
+    * collects), followed by a per-gram ordered-pair explode. Identical
+    * output: per gram, all (sa < sb) pairs of its distinct members,
+    * deduped across grams. */
   def rareGramEdgesFrom(grams: DataFrame, idCol: String,
       dfMin: Int, dfMax: Int): DataFrame = {
     val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c").between(dfMin, dfMax)).select(col("g"))
-    val rt = grams.join(rare, Seq("g"))
-    rt.select(col("g"), col(idCol).as("sa"))
-      .join(rt.select(col("g"), col(idCol).as("sb")), Seq("g"))
-      .filter(col("sa") < col("sb"))
-      .select(col("sa"), col("sb")).distinct()
+    val members = grams.join(rare, Seq("g"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    // ids sorted ascending → pairing later elements to earlier ones
+    // yields exactly the sa < sb orientation (slice start is 1-based)
+    members
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), lit(dfMax)),
+          y => struct(x.as("sa"), y.as("sb")))))).as("p"))
+      .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .distinct()
   }
 
   /** Document containment (Broder 1997's asymmetric resemblance
