@@ -213,7 +213,7 @@ object Corpus {
     val nRow = broadcast(verts.agg(count(lit(1)).as("nv")))
     var pr = verts.crossJoin(nRow)
       .select(col("v"), col("deg"), expr("1000000000000 div nv").as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val agg = sym
         .join(pr.select(col("v").as("src"), expr("pr div deg").as("c")),
           Seq("src"))
@@ -223,6 +223,11 @@ object Corpus {
         .select(col("v"), col("deg"),
           (expr("150000000000 div nv") +
             expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
+      // deep power iteration (not the iters=3 default) grows the
+      // iterate's lineage without bound — truncate every 8 rounds
+      // (local or reliable per Exec.iterCheckpoint; values are exact
+      // integers, so a checkpointed iterate is bit-identical)
+      if (i % 8 == 0 && i < iters) pr = Exec.iterCheckpoint(pr, eager = true)
     }
     pr
   }

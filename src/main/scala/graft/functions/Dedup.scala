@@ -626,9 +626,9 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = sym.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint(true)
+      var labels = Exec.iterCheckpoint(
+        sym.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id")), eager = true)
       val labelType = labels.schema("label").dataType
       var converged = false
       var iter = 0
@@ -645,10 +645,11 @@ object Dedup {
             lit(null).cast(labelType).as("old"))
         val self = labels.select(col("id"), col("label"),
           col("label").as("old"))
-        val next = viaNeighbor.unionByName(self)
-          .groupBy(col("id"))
-          .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-          .localCheckpoint(true)
+        val next = Exec.iterCheckpoint(
+          viaNeighbor.unionByName(self)
+            .groupBy(col("id"))
+            .agg(min(col("label")).as("label"), max(col("old")).as("old")),
+          eager = true)
         // the superseded checkpoint is dead once `next` materialized —
         // release its blocks now instead of pinning maxIter label tables
         // in the block manager until driver GC notices. Dataset.unpersist
@@ -713,8 +714,8 @@ object Dedup {
   def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
     // the ONLY evaluation of the upstream pair pipeline
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .localCheckpoint(true)
+    val p = Exec.iterCheckpoint(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")), eager = true)
     // duplicate-free both-orientations form of an ORIENTED (u > v,
     // distinct) edge set; no distinct() needed — see Scaladoc
     def sym(e: DataFrame): DataFrame =
@@ -747,7 +748,7 @@ object Dedup {
     // edge set's blocks (first action on a marked RDD stores it) and
     // computes the convergence probe
     def checkpointWithFp(e: DataFrame): (DataFrame, (Long, String)) = {
-      val ck = e.localCheckpoint(false)
+      val ck = Exec.iterCheckpoint(e, eager = false)
       val r = ck.agg(count(lit(1)),
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
       (ck, (r.getLong(0),
@@ -764,10 +765,9 @@ object Dedup {
     // edge set degenerates to stars. Backs the RETURNED lazy DataFrame,
     // so its checkpoint blocks stay live — the same lifecycle as
     // dupClusters' final label table.
-    val nodes = p
+    val nodes = Exec.iterCheckpoint(p
       .select(explode(array(col("a"), col("b"))).as("id"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), eager = true)
     // both derivations materialized — the upstream checkpoint is dead
     freeLocalCheckpoint(p)
     var converged = false

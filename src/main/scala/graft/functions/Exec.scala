@@ -5,6 +5,40 @@ import org.apache.spark.sql.DataFrame
 /** Execution-shape helpers shared by the operator modules. */
 object Exec {
 
+  /** Conf key for the reliable-checkpoint switch (round-5 verdict #3).
+    * Default off: `localCheckpoint` is the right call in a single-node
+    * sandbox — no extra I/O, lineage truncated. On a real cluster an
+    * executor loss during a 100 TB clustering run kills the
+    * lineage-truncated blocks AND the job; setting this to `true`
+    * routes every iterative-operator checkpoint through
+    * `RDD.checkpoint()` into `spark.graft.checkpointDir` (or the
+    * session's configured checkpoint dir), which survives executor
+    * loss. One flag, not a redesign — operator results are identical
+    * in both modes (ReliableCheckpointSpec pins it, including
+    * unpersist-simulated block loss). */
+  val ReliableCheckpointKey = "spark.graft.reliableCheckpoint"
+  val CheckpointDirKey = "spark.graft.checkpointDir"
+
+  private def reliableOn(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(ReliableCheckpointKey)
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Lineage-truncating checkpoint for iterative operators: local (the
+    * fast sandbox default) or reliable (cluster fault tolerance) per
+    * [[ReliableCheckpointKey]]. Eagerness semantics match
+    * `Dataset.localCheckpoint(eager)`. */
+  def iterCheckpoint(df: DataFrame, eager: Boolean): DataFrame =
+    if (!reliableOn(df)) df.localCheckpoint(eager)
+    else {
+      val spark = df.sparkSession
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(spark.conf.getOption(CheckpointDirKey)
+          .getOrElse(java.nio.file.Files
+            .createTempDirectory("graft-ckpt").toString))
+      df.checkpoint(eager)
+    }
+
   /** Fan a SMALL scan out to the session's parallelism before CPU-heavy
     * per-row work (tokenize / md5-minhash / shingle-hash / vector
     * normalize stages).
