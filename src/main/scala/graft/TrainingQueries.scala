@@ -583,7 +583,7 @@ object TrainingQueries {
     // bin/1024 — a power-of-two division, IEEE-exact.
     "q75_histogram_quantile" -> ((s, dir) =>
       graft.functions.Relational.histogramQuantile(
-        docsFanned(s, dir).filter(col("text").isNotNull)
+        docs(s, dir).filter(col("text").isNotNull)
           .select(col("lang"),
             TextFunctions.qualityScore(col("text")).as("q")),
         "lang", "q", 0.9, 1024)

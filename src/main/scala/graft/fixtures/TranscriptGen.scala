@@ -25,7 +25,13 @@ object TranscriptGen {
     * change (payload mix, sizing, watermark, turn structure), or stale
     * /tmp parquet from the previous generator silently becomes the
     * benchmarked corpus — the repo's documented stale-artifact pitfall
-    * class. */
+    * class.
+    *
+    * r06 note: a zstd encoding of this input was tried (401 MB vs
+    * 565 MB snappy — cuts the cold-cache read) and REVERTED: zstd
+    * decompression taxed the warm-path extraction headline ~70%
+    * (2.47 s vs 1.3-1.5 s per rep). Guide §6's "measure both" came out
+    * for snappy on this read-dominated, DRAM-bound path. */
   val GeneratorVersion = 1
 
 

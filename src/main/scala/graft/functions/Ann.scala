@@ -319,6 +319,8 @@ object Ann {
       .agg(sum(col("x").cast("decimal(30,12)")).as("s"),
         count(lit(1)).as("n"))
       .collect()
+    require(rows.nonEmpty,
+      "labelCentroids: no rows with a non-null label")
     val labels = rows.map(_.getInt(0)).distinct.sorted
     val idx = labels.zipWithIndex.toMap
     val dim = rows.map(_.getInt(1)).max + 1

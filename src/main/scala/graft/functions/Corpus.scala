@@ -174,6 +174,11 @@ object Corpus {
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       "percent cutoffs must leave room for test")
+    require(clusters.columns.contains("id") &&
+      clusters.columns.contains("cluster"),
+      s"clusters relation must carry (id, cluster) columns, got " +
+        s"(${clusters.columns.mkString(", ")}) — rename upstream " +
+        "(e.g. Dedup.dupClusters output) before passing it here")
     val b = pmod(Expressions.fnv1a64(col("anchor").cast("string")),
       lit(100L))
     df.select(col(idCol))

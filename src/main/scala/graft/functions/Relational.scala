@@ -37,6 +37,16 @@ import org.apache.spark.sql.types.StructType
   */
 object Relational {
 
+  /** Reserved-staging-column guard (the Ann/Dedup discipline): funnel
+    * and retentionCohorts stage `_graft_*` columns; an input already
+    * carrying one would produce ambiguous references or a join on the
+    * wrong column — fail fast instead. */
+  private def requireNoStagingCols(df: DataFrame): Unit = {
+    val clash = df.columns.filter(_.startsWith("_graft_"))
+    require(clash.isEmpty,
+      s"input already has reserved staging column(s): ${clash.mkString(", ")}")
+  }
+
   /** For every left row, attach the payload of the LATEST right row of
     * the same `key` with `right(timeCol) <= left(timeCol)` (inclusive
     * as-of-backward semantics; left rows with no prior right row carry
@@ -208,6 +218,7 @@ object Relational {
   def funnel(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    requireNoStagingCols(df)
     var cur = df.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as("_graft_t"))
@@ -240,6 +251,7 @@ object Relational {
     * difference floor-divided by 7. */
   def retentionCohorts(df: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
+    requireNoStagingCols(df)
     val first = df.groupBy(col(userCol))
       .agg(date_trunc("week", min(col(tsCol))).as("_graft_cw"))
       .select(col(userCol).as("_graft_u"), col("_graft_cw"))
