@@ -216,17 +216,24 @@ object Corpus {
         .withColumnRenamed("src", "v")
         .persist(StorageLevel.MEMORY_AND_DISK))
     val nRow = broadcast(verts.agg(count(lit(1)).as("nv")))
-    var pr = verts.crossJoin(nRow)
-      .select(col("v"), col("deg"), expr("1000000000000 div nv").as("pr"))
+    // the teleport terms are constants of the graph — stage them ONCE
+    // in a persisted vertex base instead of re-deriving
+    // verts × nRow (a broadcast-nested-loop stage) in every round
+    val base = Dedup.trackPersisted(verts.crossJoin(nRow)
+      .select(col("v"), col("deg"),
+        expr("1000000000000 div nv").as("pr0"),
+        expr("150000000000 div nv").as("t15"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    var pr = base.select(col("v"), col("deg"), col("pr0").as("pr"))
     for (i <- 1 to iters) {
       val agg = sym
         .join(pr.select(col("v").as("src"), expr("pr div deg").as("c")),
           Seq("src"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
         .withColumnRenamed("dst", "v")
-      pr = verts.crossJoin(nRow).join(agg, Seq("v"), "left")
+      pr = base.join(agg, Seq("v"), "left")
         .select(col("v"), col("deg"),
-          (expr("150000000000 div nv") +
+          (col("t15") +
             expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
       // deep power iteration (not the iters=3 default) grows the
       // iterate's lineage without bound — truncate every 8 rounds
