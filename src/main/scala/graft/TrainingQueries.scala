@@ -14,13 +14,6 @@ import graft.functions.{Ann, Corpus, Dedup, Expressions, TextFunctions}
   */
 object TrainingQueries {
 
-  /** The corpus tables fan out to the session's parallelism at the
-    * source (Exec.fanOutForCpu — a no-op whenever the scan already has
-    * ≥ parallelism splits, i.e. always at real scale): nearly every
-    * consumer runs CPU-heavy per-row work (tokenize / hash / shingle /
-    * normalize) directly above this scan, and the bench-scale tables
-    * are single-row-group files whose one-task scans serialized those
-    * map stages on one core. */
   /** NOT fanned out at the source: a blanket repartition taxes every
     * trivial-map query (+0.1-0.3 s each measured) and multi-branch
     * self-joins pay it once per branch. The operators/queries whose map
